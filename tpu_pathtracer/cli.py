@@ -1,0 +1,131 @@
+"""Command-line entry point with the reference's exact argv contract.
+
+``main.cpp`` (src/main.cpp:16-49) takes five positional arguments:
+
+    raytracer <scene> <width> <height> <samples> <out.ppm>
+
+and exits 1 with a message on stderr for too-few args or a runtime error.
+This CLI keeps that contract bit-for-bit (so ``run.sh``/``run-test.sh``-style
+harnesses work unchanged) and extends the scene front-end: ``.gltf`` goes to
+the glTF loader like the reference, anything else to the homebrew
+``scene-NNN.txt`` parser — the format the reference ships data for but can no
+longer parse (SURVEY §2 C19).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import List, Optional
+
+from .config import DEFAULT_CONFIG, RenderConfig
+
+
+def _strtol(s: str) -> int:
+    """std::strtol semantics: parse the leading integer, 0 if none
+    (src/main.cpp:23-25)."""
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    return int(s[: j])
+
+
+def render_scene_file(
+    scene_path: str,
+    width: int,
+    height: int,
+    samples: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    progress: bool = True,
+):
+    """Load + render any supported scene file -> (HDR numpy image, metrics)."""
+    from .utils.metrics import RenderMetrics
+
+    t0 = time.perf_counter()
+    if scene_path.endswith(".gltf") or scene_path.endswith(".glb"):
+        from .scene.gltf import parse_gltf_scene
+        from .models.pathtracer import render
+
+        scene = parse_gltf_scene(scene_path, width / height, config)
+        scene = dataclasses.replace(
+            scene, camera=scene.camera.with_dims(width, height), samples=samples
+        )
+        t_load = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        hdr = render(scene, spp=samples, seed=seed, config=config)
+        depth = scene.ray_depth
+    else:
+        from .scene.homebrew import parse_homebrew_scene
+        from .models.legacy import render_homebrew
+
+        scene = parse_homebrew_scene(scene_path)
+        scene = dataclasses.replace(
+            scene, camera=scene.camera.with_dims(width, height)
+        )
+        if samples > 0 and scene.monte_carlo:
+            scene = dataclasses.replace(scene, samples=samples)
+        t_load = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        hdr = render_homebrew(scene, seed=seed, config=config)
+        depth = scene.ray_depth
+    t_render = time.perf_counter() - t1
+
+    metrics = RenderMetrics(
+        width=width,
+        height=height,
+        samples=samples,
+        ray_depth=depth,
+        load_seconds=t_load,
+        render_seconds=t_render,
+    )
+    return hdr, metrics
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    # Backend override (e.g. TPU_PATHTRACER_PLATFORM=cpu for host-only runs).
+    platform = os.environ.get("TPU_PATHTRACER_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) < 6:
+        print(
+            f"Too few arguments: expected 6, got {len(argv) - 1}",
+            file=sys.stderr,
+        )
+        return 1
+
+    try:
+        width = _strtol(argv[2])
+        height = _strtol(argv[3])
+        samples = _strtol(argv[4])
+
+        hdr, metrics = render_scene_file(argv[1], width, height, samples)
+
+        from .utils.image import quantize_u8, write_ppm
+        import numpy as np
+
+        out_path = argv[5]
+        parent = os.path.dirname(out_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)  # create_directories, main.cpp:41
+        write_ppm(out_path, np.asarray(quantize_u8(hdr)))
+        print(metrics.to_json(), file=sys.stderr)
+        return 0
+    except (RuntimeError, OSError, ValueError) as err:
+        print(str(err), file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,313 @@
+"""Wavefront Monte-Carlo path tracer over triangle scenes (the flagship).
+
+This is the TPU re-architecture of the reference's recursive integrator
+(``trace_ray``/``shade``/``render_pixel``, src/raytracer.h:512-627): the
+per-ray recursion becomes a ``lax.scan`` over bounce depth carrying a
+megabatch wavefront (origin, direction, throughput, radiance, alive), with
+every data-dependent branch of ``shade`` turned into masked selects.  One
+sample of one pixel follows *exactly* the reference estimator:
+
+  bounce:  closest-hit -> miss? add env (src/raytracer.h:604)
+           alpha Russian roulette pass-through  (:558-561)
+           add emission                          (:588-590)
+           dir ~ 1/3 VNDF | 2/3 (cosine/light mixture)  (:565-568)
+           p = 1/3 p_vndf + 2/3 p_mix           (:572-574)
+           throughput *= pbr_brdf/p * max(0, <dir, n_s>)  (:580-582)
+           kill on NaN dir / p < EPS / zero scl (:569-587)
+
+NaN handling matches the reference's recursion algebra: once a throughput
+channel goes NaN every later contribution poisons the accumulated channel,
+and a final ``+ throughput * 0`` reproduces the depth-exhaustion case, so the
+per-sample ``sanitize_nans`` (src/raytracer.h:607-616) zeroes the same
+channels the CPU build zeroes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import bsdf, sampling, texture
+from ..ops.intersect import Hit, closest_hit, light_pdf_sum
+from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
+from ..scene.types import Camera, TriangleScene
+
+# Uniform draws consumed per ray per bounce (fixed-shape wavefront layout):
+# 0 alpha coin | 1 vndf coin | 2,3 vndf | 4 mixture pick | 5,6 cosine
+# 7 light pick | 8,9 light point
+_DRAWS = 10
+
+
+def gen_rays(
+    camera: Camera, pixel_ids: jnp.ndarray, offsets: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittered pinhole rays (gen_ray, src/raytracer.h:527-538)."""
+    w, h = camera.width, camera.height
+    x = (pixel_ids % w).astype(jnp.float32)
+    y = (pixel_ids // w).astype(jnp.float32)
+    tx = math.tan(camera.fov_x / 2)
+    ty = math.tan(camera.fov_y / 2)
+    right = jnp.array(camera.right, dtype=jnp.float32)
+    up = jnp.array(camera.up, dtype=jnp.float32)
+    fwd = jnp.array(camera.forward, dtype=jnp.float32)
+    cx = (2.0 * (x + offsets[:, 0]) / w - 1.0) * tx
+    cy = (2.0 * (y + offsets[:, 1]) / h - 1.0) * ty
+    d = normalize(cx[:, None] * right - cy[:, None] * up + fwd[None, :])
+    o = jnp.broadcast_to(jnp.array(camera.position, dtype=jnp.float32), d.shape)
+    return o, d
+
+
+def _interp(vals: jnp.ndarray, beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+    """triangle::interop (src/geometry.h:497-502): w_a = 1 - beta - gamma."""
+    wa = (1.0 - beta - gamma)[:, None]
+    return wa * vals[:, 0] + beta[:, None] * vals[:, 1] + gamma[:, None] * vals[:, 2]
+
+
+def hit_info(
+    scene: TriangleScene,
+    direction: jnp.ndarray,
+    hit: Hit,
+    config: RenderConfig,
+):
+    """Port of ``to_intersection_info`` (src/bvh.h:80-121) over the wavefront.
+
+    Unlike the reference — which fetches textures inside BVH hit finalization
+    — this is an explicit shade-stage gather over the compact hit batch."""
+    tri = hit.tri
+    v = scene.verts[tri]  # [R, 3, 3]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    g_normal = normalize(cross(e1, e2))  # Object::base_normal
+    inside = dot(g_normal, direction) > 0
+
+    smooth = normalize(_interp(scene.normals[tri], hit.beta, hit.gamma))
+    smooth = where3(dot(g_normal, smooth) < 0, -smooth, smooth)
+
+    uv = _interp(scene.uvs[tri], hit.beta, hit.gamma)  # tex_coord_at
+
+    tangent = normalize(_interp(scene.tangents[tri], hit.beta, hit.gamma))
+    bitangent = cross(smooth, tangent)
+    use_tex = config.use_textures
+    normal_loc = texture.sample_normal(scene.atlas, scene.normal_tex[tri], uv, use_tex)
+    shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
+
+    color = scene.color[tri] * texture.sample(
+        scene.atlas, scene.color_tex[tri], uv, 2.2, use_tex
+    )
+    emission = scene.emission[tri] * texture.sample(
+        scene.atlas, scene.emissive_tex[tri], uv, 2.2, use_tex
+    )[:, :3]
+    mr = texture.sample(scene.atlas, scene.mr_tex[tri], uv, 1.0, use_tex)
+    metallic = scene.metallic[tri] * mr[:, 2]  # B channel (src/geometry.h:625)
+    roughness = scene.roughness[tri] * mr[:, 1]  # G channel
+
+    flip = inside[:, None]
+    return dict(
+        normal=jnp.where(flip, -g_normal, g_normal),
+        shading_normal=jnp.where(flip, -shading, shading),
+        inside=inside,
+        color=color,  # [R, 4] rgba
+        emission=emission,
+        metallic=metallic,
+        roughness=roughness,
+        ior=scene.ior[tri],
+    )
+
+
+def trace(
+    scene: TriangleScene,
+    origin: jnp.ndarray,  # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    key: jax.Array,
+    config: RenderConfig,
+) -> jnp.ndarray:  # [R, 3] radiance (NOT NaN-sanitized; caller does that)
+    """One full path per input ray: scan over ray_depth wavefront bounces."""
+    r = origin.shape[0]
+    eps = config.eps
+    vf = config.vndf_factor
+    lights = scene.lights
+    has_light_rows = lights.capacity > 0
+
+    def bounce(carry, bounce_idx):
+        o, d, throughput, radiance, alive = carry
+        k = jax.random.fold_in(key, bounce_idx)
+        draws = jax.random.uniform(k, (r, _DRAWS), dtype=jnp.float32)
+
+        hit = closest_hit(o, d, scene.woop, eps)
+
+        env = texture.env_radiance(
+            scene.atlas, scene.env_tex, scene.bg_color, d, config.use_textures
+        )
+        miss = alive & ~hit.hit
+        radiance = radiance + jnp.where(miss[:, None], throughput * env, 0.0)
+
+        live = alive & hit.hit
+        info = hit_info(scene, d, hit, config)
+        pos = o + hit.t[:, None] * d
+
+        # Alpha transparency Russian roulette (src/raytracer.h:558-561):
+        # coin(alpha) FAILS with prob 1-alpha -> continue same direction.
+        alpha_pass = draws[:, 0] > info["color"][:, 3]
+        passthrough = live & alpha_pass
+        shade = live & ~alpha_pass
+
+        radiance = radiance + jnp.where(
+            shade[:, None], throughput * info["emission"], 0.0
+        )
+
+        # --- direction sampling -------------------------------------------
+        alpha_r2 = jnp.maximum(info["roughness"], config.min_roughness) ** 2
+        use_vndf = draws[:, 1] <= vf
+        vndf_dir = sampling.vndf_sample(
+            alpha_r2, d, info["shading_normal"], draws[:, 2], draws[:, 3]
+        )
+        cos_dir = sampling.cosine_sample(info["normal"], draws[:, 5], draws[:, 6])
+        if has_light_rows:
+            n_lights = lights.count
+            pick_light = (sampling.pick_uniform(draws[:, 4], jnp.asarray(2)) == 1) & (
+                n_lights > 0
+            )
+            li = sampling.pick_uniform(draws[:, 7], n_lights)
+            lv = lights.verts[li]  # [R, 3, 3]
+            light_dir = sampling.light_triangle_sample(
+                pos, lv[:, 0], lv[:, 1], lv[:, 2], draws[:, 8], draws[:, 9]
+            )
+            mix_dir = where3(pick_light, light_dir, cos_dir)
+        else:
+            mix_dir = cos_dir
+        new_dir = where3(use_vndf, vndf_dir, mix_dir)
+
+        # --- pdf blend (src/raytracer.h:572-574) --------------------------
+        p_vndf = sampling.vndf_pdf(
+            alpha_r2, d, info["shading_normal"], new_dir, eps
+        )
+        p_cos = sampling.cosine_pdf(info["normal"], new_dir)
+        if has_light_rows:
+            p_light = light_pdf_sum(
+                pos, new_dir, lights.verts, lights.normal, lights.area,
+                lights.count, eps,
+            )
+            p_mix = jnp.where(lights.count > 0, (p_cos + p_light) / 2.0, p_cos)
+        else:
+            p_mix = p_cos
+        p = vf * p_vndf + (1.0 - vf) * p_mix
+
+        # --- throughput update + kill conditions --------------------------
+        f = bsdf.pbr_brdf(
+            d,
+            new_dir,
+            info["shading_normal"],
+            info["color"][:, :3],
+            info["metallic"],
+            info["roughness"],
+            info["ior"],
+            config.min_roughness,
+        )
+        cos_term = jnp.maximum(0.0, dot(new_dir, info["shading_normal"]))
+        scl = f / p[:, None] * cos_term[:, None]
+
+        dir_nan = jnp.any(jnp.isnan(new_dir), axis=-1)
+        kill = dir_nan | (p < eps) | (length2(scl) == 0.0)
+        cont = shade & ~kill
+
+        throughput = jnp.where(cont[:, None], throughput * scl, throughput)
+        moved = passthrough | cont
+        o = where3(moved, pos, o)
+        d = where3(cont, new_dir, d)
+        alive = moved
+        return (o, d, throughput, radiance, alive), None
+
+    init = (
+        origin,
+        direction,
+        jnp.ones((r, 3), jnp.float32),
+        jnp.zeros((r, 3), jnp.float32),
+        jnp.ones((r,), dtype=bool),
+    )
+    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+        bounce, init, jnp.arange(scene.ray_depth)
+    )
+    # Depth exhaustion: the reference's deepest call returns {0,0,0}, which a
+    # NaN throughput chain turns into NaN (src/raytracer.h:596-598).
+    radiance = radiance + jnp.where(alive[:, None], throughput * 0.0, 0.0)
+    return radiance
+
+
+def sanitize_nans(color: jnp.ndarray) -> jnp.ndarray:
+    """sanitize_nans (src/raytracer.h:607-616): per-channel NaN -> 0."""
+    return jnp.where(jnp.isnan(color), 0.0, color)
+
+
+@partial(jax.jit, static_argnames=("n_rays", "spp", "config"))
+def render_chunk(
+    scene: TriangleScene,
+    chunk_start: jnp.ndarray,  # [] int32 first linear pixel id
+    key: jax.Array,
+    sample_start: jnp.ndarray,  # [] int32 (checkpoint resume offset)
+    n_rays: int,
+    spp: int,
+    config: RenderConfig,
+) -> jnp.ndarray:  # [n_rays, 3] mean radiance
+    """Average ``spp`` samples for one contiguous pixel chunk
+    (render_pixel, src/raytracer.h:618-627)."""
+    pixel_ids = chunk_start + jnp.arange(n_rays)
+
+    def body(s, acc):
+        k = jax.random.fold_in(key, sample_start + s)
+        # Pixel-jitter draws use a fold index no bounce can reach.
+        offsets = jax.random.uniform(
+            jax.random.fold_in(k, 0x7FFFFFFF), (n_rays, 2), dtype=jnp.float32
+        )
+        o, d = gen_rays(scene.camera, pixel_ids, offsets)
+        rad = trace(scene, o, d, k, config)
+        return acc + sanitize_nans(rad)
+
+    acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((n_rays, 3), jnp.float32))
+    return acc / spp
+
+
+def render(
+    scene: TriangleScene,
+    spp: int,
+    seed: int = 0,
+    config: RenderConfig = None,
+):
+    """Full-frame render -> host numpy [H, W, 3] float32 HDR radiance.
+
+    Replaces the reference's span thread pool (run_raytracer,
+    src/raytracer.h:629-674): pixel chunks are jitted megabatches instead of
+    256-pixel CPU spans, looped from host with a folded key per chunk.
+    """
+    import numpy as np
+
+    config = config or RenderConfig()
+    cam = scene.camera
+    h, w = cam.height, cam.width
+    npix = h * w
+    if scene.ray_depth == 0:
+        return np.broadcast_to(
+            np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
+        ).copy()
+
+    chunk = min(config.rays_per_batch, npix)
+    base = jax.random.key(seed)
+    out = np.zeros((npix, 3), dtype=np.float32)
+    for start in range(0, npix, chunk):
+        n = min(chunk, npix - start)
+        ck = jax.random.fold_in(base, start)
+        rad = render_chunk(
+            scene,
+            jnp.asarray(start, jnp.int32),
+            ck,
+            jnp.asarray(0, jnp.int32),
+            chunk,
+            spp,
+            config,
+        )
+        out[start : start + n] = np.asarray(rad[:n])
+    return out.reshape(h, w, 3)

@@ -1,0 +1,214 @@
+"""Ray-triangle intersection as MXU work.
+
+The reference intersects one ray against one triangle with three 3x3 Cramer
+determinants (``intersect_ray_triangle``, src/bvh.h:36-50) inside a recursive
+BVH descent.  A TPU wants the dual formulation: precompute, per triangle, the
+affine map W that takes world coordinates into the triangle's
+(beta, gamma, normal) frame — then for a megabatch of rays
+
+    [o | 1; d | 0] @ W^T  ->  (p, q)  with  t = -p_n / q_n,
+                                           beta  = p_b + t q_b,
+                                           gamma = p_g + t q_g
+
+which is a single ``[2R, 4] @ [4, 3N]`` matmul feeding a cheap elementwise
+epilogue and a min-reduction.  Algebraically identical to the Cramer solve
+(same validity window beta >= 0, gamma >= 0, beta + gamma <= 1, t >= min_dst
+— src/bvh.h:52-65), so hit decisions match the reference up to fp noise.
+
+Large scenes are processed in triangle blocks with a ``lax.scan`` carrying the
+per-ray running best so the [2R, 3B] intermediate stays bounded; XLA pipelines
+the matmul and epilogue across scan steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .vecmath import cross, dot
+
+# f32 MXU matmuls must not silently decay to bf16: geometry needs the full
+# 24-bit mantissa (a bf16 ray direction punches visible holes in meshes).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+# Max triangle-block size for the scanned brute-force sweep.  Scenes are
+# padded so capacity is a multiple of this (or fit in a single block).
+TRI_BLOCK = 1024
+
+
+def tri_capacity(n: int) -> int:
+    """Padded triangle capacity: lane-aligned for small scenes, a multiple of
+    TRI_BLOCK for scenes that need the scanned sweep."""
+    if n <= TRI_BLOCK:
+        return max(128, ((n + 127) // 128) * 128)
+    return ((n + TRI_BLOCK - 1) // TRI_BLOCK) * TRI_BLOCK
+
+
+def build_woop(verts: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side precompute of the [4, 3N] intersection matrix (float64 solve,
+    float32 storage).  Degenerate or padding triangles get NaN rows."""
+    v = np.asarray(verts, dtype=np.float64)
+    n = v.shape[0]
+    a, b, c = v[:, 0], v[:, 1], v[:, 2]
+    av = b - a
+    au = c - a
+    n0 = np.cross(av, au)
+    m = np.stack([av, au, n0], axis=-1)  # [N, 3, 3] columns
+    det = np.linalg.det(m)
+    ok = np.asarray(valid, dtype=bool) & np.isfinite(det) & (np.abs(det) > 0)
+    m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
+    minv = np.linalg.inv(m_safe)  # [N, 3, 3]
+    trans = -np.einsum("nij,nj->ni", minv, a)  # [N, 3]
+    w = np.concatenate([minv, trans[:, :, None]], axis=-1)  # [N, 3, 4]
+    w = np.where(ok[:, None, None], w, np.nan)
+    # [N, 3, 4] -> [4, 3N] with columns grouped per triangle.
+    return np.ascontiguousarray(w.transpose(2, 0, 1).reshape(4, 3 * n)).astype(
+        np.float32
+    )
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray  # [R] float32 (inf on miss)
+    tri: jnp.ndarray  # [R] int32 (0 on miss; gate on .hit)
+    beta: jnp.ndarray  # [R] barycentric along (b - a)
+    gamma: jnp.ndarray  # [R] barycentric along (c - a)
+    hit: jnp.ndarray  # [R] bool
+
+
+def _block_best(
+    rays: jnp.ndarray,  # [2R, 4] stacked (o,1) and (d,0)
+    woop_block: jnp.ndarray,  # [4, 3B]
+    min_dst: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest valid hit within one triangle block: (t [R], local idx [R])."""
+    r = rays.shape[0] // 2
+    y = jnp.dot(rays, woop_block, precision=_PRECISION)  # [2R, 3B]
+    y = y.reshape(2, r, -1, 3)
+    p, q = y[0], y[1]  # [R, B, 3]
+    t = -p[..., 2] / q[..., 2]
+    beta = p[..., 0] + t * q[..., 0]
+    gamma = p[..., 1] + t * q[..., 1]
+    ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= min_dst)
+    t_m = jnp.where(ok, t, jnp.inf)
+    idx = jnp.argmin(t_m, axis=-1)
+    best = jnp.take_along_axis(t_m, idx[:, None], axis=-1)[:, 0]
+    return best, idx.astype(jnp.int32)
+
+
+def closest_hit(
+    origin: jnp.ndarray,  # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    woop: jnp.ndarray,  # [4, 3N]
+    min_dst: float,
+) -> Hit:
+    """Closest-hit over the whole triangle soup (BVH::intersect_ray analog,
+    src/bvh.h:170-235 — ordered descent replaced by a dense min-reduction)."""
+    r = origin.shape[0]
+    n3 = woop.shape[1]
+    n = n3 // 3
+    ones = jnp.ones((r, 1), dtype=origin.dtype)
+    zeros = jnp.zeros((r, 1), dtype=origin.dtype)
+    rays = jnp.concatenate(
+        [
+            jnp.concatenate([origin, ones], axis=1),
+            jnp.concatenate([direction, zeros], axis=1),
+        ],
+        axis=0,
+    )  # [2R, 4]
+
+    if n <= TRI_BLOCK:
+        t, idx = _block_best(rays, woop, min_dst)
+        tri = idx
+    else:
+        assert n % TRI_BLOCK == 0, "scene capacity must be a multiple of TRI_BLOCK"
+        nblocks = n // TRI_BLOCK
+
+        def body(carry, blk):
+            best_t, best_tri = carry
+            wb = jax.lax.dynamic_slice(
+                woop, (0, blk * 3 * TRI_BLOCK), (4, 3 * TRI_BLOCK)
+            )
+            t, idx = _block_best(rays, wb, min_dst)
+            tri = idx + blk * TRI_BLOCK
+            better = t < best_t
+            return (
+                jnp.where(better, t, best_t),
+                jnp.where(better, tri, best_tri),
+            ), None
+
+        (t, tri), _ = jax.lax.scan(
+            body,
+            (jnp.full((r,), jnp.inf), jnp.zeros((r,), jnp.int32)),
+            jnp.arange(nblocks),
+        )
+
+    hit = jnp.isfinite(t)
+    # Recompute barycentrics for the winning triangle only (cheaper than
+    # carrying them through the scan): gather its 4x3 W block and redo the
+    # two matvecs — bit-identical to the in-block computation.
+    tri_safe = jnp.where(hit, tri, 0)
+    cols = tri_safe[:, None] * 3 + jnp.arange(3)[None, :]  # [R, 3]
+    w = woop[:, cols]  # [4, R, 3]
+    w = jnp.moveaxis(w, 0, 1)  # [R, 4, 3]
+    o1 = jnp.concatenate([origin, jnp.ones((r, 1), origin.dtype)], axis=1)
+    d0 = jnp.concatenate([direction, jnp.zeros((r, 1), origin.dtype)], axis=1)
+    p = jnp.einsum("rk,rkj->rj", o1, w, precision=_PRECISION)
+    q = jnp.einsum("rk,rkj->rj", d0, w, precision=_PRECISION)
+    t_r = -p[..., 2] / q[..., 2]
+    beta = p[..., 0] + t_r * q[..., 0]
+    gamma = p[..., 1] + t_r * q[..., 1]
+    t_final = jnp.where(hit, t_r, jnp.inf)
+    return Hit(
+        t=t_final,
+        tri=tri_safe,
+        beta=jnp.where(hit, beta, 0.0),
+        gamma=jnp.where(hit, gamma, 0.0),
+        hit=hit,
+    )
+
+
+def light_pdf_sum(
+    origin: jnp.ndarray,  # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    light_verts: jnp.ndarray,  # [L, 3, 3]
+    light_normal: jnp.ndarray,  # [L, 3]
+    light_area: jnp.ndarray,  # [L]
+    light_count: jnp.ndarray,  # [] int32
+    min_dst: float,
+) -> jnp.ndarray:
+    """All-hits light-mixture pdf (``bvh_mix_dist::pdf``, src/raytracer.h:363-376).
+
+    The reference walks the emissive-only BVH visiting *every* light triangle
+    the ray pierces and sums |x-y|^2 / (|<dir, n_y>| * area) terms; here the
+    light set is small and dense, so the sum is a single broadcast reduce over
+    all lights — no traversal, no divergence.  Returns sum / count.
+    """
+    a = light_verts[:, 0]
+    av = light_verts[:, 1] - a
+    au = light_verts[:, 2] - a
+    o = origin[:, None, :]  # [R, 1, 3]
+    d = direction[:, None, :]
+    y = o - a[None]  # [R, L, 3]
+    at = -d
+    denom = dot(jnp.broadcast_to(av[None], y.shape), cross(jnp.broadcast_to(au[None], y.shape), at))
+    beta = dot(y, cross(jnp.broadcast_to(au[None], y.shape), at)) / denom
+    gamma = dot(jnp.broadcast_to(av[None], y.shape), cross(y, at)) / denom
+    t = dot(jnp.broadcast_to(av[None], y.shape), cross(jnp.broadcast_to(au[None], y.shape), y)) / denom
+    lane = jnp.arange(light_verts.shape[0])[None, :]
+    ok = (
+        (beta >= 0)
+        & (gamma >= 0)
+        & (beta + gamma <= 1)
+        & (t >= min_dst)
+        & (lane < light_count)
+    )
+    # light_surface_projection_multiplier (src/raytracer.h:79-84):
+    # |x - y|^2 = t^2 |d|^2 for y on the ray.
+    dist2 = t * t * dot(d, d)
+    proj = dist2 / jnp.abs(dot(jnp.broadcast_to(light_normal[None], y.shape), d))
+    contrib = jnp.where(ok, proj / light_area[None], 0.0)
+    total = jnp.sum(contrib, axis=-1)
+    return total / jnp.maximum(light_count, 1).astype(total.dtype)

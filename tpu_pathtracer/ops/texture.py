@@ -1,0 +1,95 @@
+"""Bilinear texture fetch from the shared atlas.
+
+Port of ``geometry::Texture::sample`` (src/geometry.h:545-582): repeat-wrap,
+bilinear, with per-texel gamma decode applied *before* the lerp (gamma 2.2 for
+color/emissive lookups, 1.0 for metallic-roughness/normal).  Two reference
+semantics are preserved on purpose:
+
+* 1x1 textures short-circuit and return the raw texel with NO gamma applied
+  (``if (data.size() == 1) return data[0];`` src/geometry.h:548-550);
+* when textures are disabled by config every lookup returns texel 0
+  (src/geometry.h:572-574).
+
+Fetches are four dynamic row-gathers from the flat [T, 4] texel pool — the
+TPU-side replacement for chasing ``const Texture*`` pointers per hit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.types import TextureAtlas
+from .vecmath import normalize
+
+
+def _wrap_repeat(x: jnp.ndarray) -> jnp.ndarray:
+    """wrap_repeat (src/geometry.h:517-519): fmod(fmod(x, 1) + 1, 1)."""
+    return jnp.mod(jnp.mod(x, 1.0) + 1.0, 1.0)
+
+
+def sample(
+    atlas: TextureAtlas,
+    tex_id: jnp.ndarray,  # [R] int32
+    uv: jnp.ndarray,  # [R, 2]
+    gamma: float = 1.0,
+    use_textures: bool = True,
+) -> jnp.ndarray:  # [R, 4]
+    off = atlas.offset[tex_id]
+    if not use_textures:
+        return atlas.texels[off]
+    w = atlas.width[tex_id]
+    h = atlas.height[tex_id]
+
+    tx = _wrap_repeat(uv[:, 0]) * w.astype(uv.dtype)
+    ty = _wrap_repeat(uv[:, 1]) * h.astype(uv.dtype)
+    px = jnp.minimum(tx.astype(jnp.int32), w - 1)  # trunc toward 0 (tx >= 0)
+    py = jnp.minimum(ty.astype(jnp.int32), h - 1)
+    dx = (tx - px.astype(uv.dtype))[:, None]
+    dy = (ty - py.astype(uv.dtype))[:, None]
+    # mod_inc (src/geometry.h:521-523)
+    px1 = jnp.where(px == w - 1, 0, px + 1)
+    py1 = jnp.where(py == h - 1, 0, py + 1)
+
+    def texel(ix, iy):
+        c = atlas.texels[off + ix + iy * w]
+        if gamma != 1.0:
+            rgb = jnp.power(c[:, :3], gamma)
+            c = jnp.concatenate([rgb, c[:, 3:]], axis=-1)
+        return c
+
+    c00 = texel(px, py)
+    c01 = texel(px, py1)
+    c10 = texel(px1, py)
+    c11 = texel(px1, py1)
+    bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * ((1 - dy) * c10 + dy * c11)
+
+    single = ((w * h) == 1)[:, None]
+    raw = atlas.texels[off]
+    return jnp.where(single, raw, bilinear)
+
+
+def sample_normal(
+    atlas: TextureAtlas,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    use_textures: bool = True,
+) -> jnp.ndarray:  # [R, 3] unit vectors
+    """Texture::sample_normal (src/geometry.h:577-582): [0,1] -> [-1,1], unit."""
+    rgb = sample(atlas, tex_id, uv, 1.0, use_textures)[:, :3]
+    return normalize(rgb * 2.0 - 1.0)
+
+
+def env_radiance(
+    atlas: TextureAtlas,
+    env_tex: jnp.ndarray,  # [] int32
+    bg_color: jnp.ndarray,  # [3]
+    direction: jnp.ndarray,  # [R, 3] (unit)
+    use_textures: bool = True,
+) -> jnp.ndarray:  # [R, 3]
+    """Scene::bg_at equirect lookup (src/scene.h:83-89)."""
+    d = direction
+    u = 0.5 + 0.5 * jnp.arctan2(d[:, 2], d[:, 0]) / jnp.pi
+    v = 0.5 - jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
+    tex_ids = jnp.broadcast_to(env_tex, d.shape[:1])
+    c = sample(atlas, tex_ids, jnp.stack([u, v], axis=-1), 2.2, use_textures)
+    return bg_color[None, :] * c[:, :3]

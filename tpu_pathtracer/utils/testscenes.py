@@ -1,0 +1,366 @@
+"""Procedural glTF fixture scenes.
+
+The reference's glTF inputs are deliberately gitignored
+(``sample_data/.gitignore``) and supplied out-of-band, so the repo carries no
+mesh fixtures.  This module writes small, fully self-contained glTF files
+(JSON + .bin) used by the test suite, the golden-image harness (which renders
+them with the *compiled C++ reference binary* for RMSE oracles) and by
+``bench.py`` (which scales a Cornell-style scene up to Sponza-class triangle
+counts).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import struct
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class GltfBuilder:
+    def __init__(self) -> None:
+        self.materials: List[dict] = []
+        self.meshes: List[dict] = []
+        self.nodes: List[dict] = []
+        self.bin = bytearray()
+        self.buffer_views: List[dict] = []
+        self.accessors: List[dict] = []
+        self.cameras: List[dict] = []
+        self.images: List[str] = []
+        self.textures: List[dict] = []
+
+    def add_texture(self, image_uri: str) -> int:
+        """Register an image file (relative to the .gltf) as a texture."""
+        self.images.append(image_uri)
+        self.textures.append({"source": len(self.images) - 1})
+        return len(self.textures) - 1
+
+    def add_material(
+        self,
+        base_color=(1, 1, 1, 1),
+        metallic: float = 0.0,
+        roughness: float = 1.0,
+        emissive=None,
+        emissive_strength: Optional[float] = None,
+        base_color_texture: Optional[int] = None,
+        metallic_roughness_texture: Optional[int] = None,
+        emissive_texture: Optional[int] = None,
+        normal_texture: Optional[int] = None,
+    ) -> int:
+        pbr: dict = {
+            "baseColorFactor": list(base_color),
+            "metallicFactor": metallic,
+            "roughnessFactor": roughness,
+        }
+        if base_color_texture is not None:
+            pbr["baseColorTexture"] = {"index": base_color_texture}
+        if metallic_roughness_texture is not None:
+            pbr["metallicRoughnessTexture"] = {"index": metallic_roughness_texture}
+        mat: dict = {"pbrMetallicRoughness": pbr}
+        if emissive is not None:
+            mat["emissiveFactor"] = list(emissive)
+        if emissive_texture is not None:
+            mat["emissiveTexture"] = {"index": emissive_texture}
+        if normal_texture is not None:
+            mat["normalTexture"] = {"index": normal_texture}
+        if emissive_strength is not None:
+            mat["extensions"] = {
+                "KHR_materials_emissive_strength": {
+                    "emissiveStrength": emissive_strength
+                }
+            }
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def _push_view(self, data: bytes) -> int:
+        off = len(self.bin)
+        self.bin.extend(data)
+        while len(self.bin) % 4:
+            self.bin.append(0)
+        self.buffer_views.append(
+            {"buffer": 0, "byteOffset": off, "byteLength": len(data)}
+        )
+        return len(self.buffer_views) - 1
+
+    def _accessor(self, view: int, count: int, ctype: int, atype: str) -> int:
+        self.accessors.append(
+            {"bufferView": view, "count": count, "componentType": ctype, "type": atype}
+        )
+        return len(self.accessors) - 1
+
+    def add_mesh(
+        self,
+        positions: np.ndarray,  # [V, 3] float32
+        indices: Optional[np.ndarray],  # [I] int
+        material: int,
+        normals: Optional[np.ndarray] = None,
+        uvs: Optional[np.ndarray] = None,
+        node_transform: Optional[dict] = None,
+    ) -> int:
+        positions = np.asarray(positions, dtype="<f4")
+        pos_acc = self._accessor(
+            self._push_view(positions.tobytes()), positions.shape[0], 5126, "VEC3"
+        )
+        prim: dict = {"attributes": {"POSITION": pos_acc}, "material": material}
+        if normals is not None:
+            normals = np.asarray(normals, dtype="<f4")
+            prim["attributes"]["NORMAL"] = self._accessor(
+                self._push_view(normals.tobytes()), normals.shape[0], 5126, "VEC3"
+            )
+        if uvs is not None:
+            uvs = np.asarray(uvs, dtype="<f4")
+            prim["attributes"]["TEXCOORD_0"] = self._accessor(
+                self._push_view(uvs.tobytes()), uvs.shape[0], 5126, "VEC2"
+            )
+        if indices is not None:
+            idx = np.asarray(indices)
+            if idx.max(initial=0) < 65536:
+                data, ctype = idx.astype("<u2").tobytes(), 5123
+            else:
+                data, ctype = idx.astype("<u4").tobytes(), 5125
+            prim["indices"] = self._accessor(
+                self._push_view(data), idx.shape[0], ctype, "SCALAR"
+            )
+        self.meshes.append({"primitives": [prim]})
+        node = {"mesh": len(self.meshes) - 1}
+        if node_transform:
+            node.update(node_transform)
+        self.nodes.append(node)
+        return len(self.nodes) - 1
+
+    def add_camera(self, position, yfov: float, node_transform: Optional[dict] = None) -> int:
+        self.cameras.append({"perspective": {"yfov": yfov}, "type": "perspective"})
+        node = {"camera": len(self.cameras) - 1, "translation": list(position)}
+        if node_transform:
+            node.update(node_transform)
+        self.nodes.append(node)
+        return len(self.nodes) - 1
+
+    def write(self, path: str) -> str:
+        base = os.path.splitext(os.path.basename(path))[0]
+        bin_name = base + ".bin"
+        root = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": list(range(len(self.nodes)))}],
+            "nodes": self.nodes,
+            "meshes": self.meshes,
+            "materials": self.materials,
+            "buffers": [{"uri": bin_name, "byteLength": len(self.bin)}],
+            "bufferViews": self.buffer_views,
+            "accessors": self.accessors,
+        }
+        if self.cameras:
+            root["cameras"] = self.cameras
+        if self.textures:
+            root["textures"] = self.textures
+            root["images"] = [{"uri": uri} for uri in self.images]
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(root, f)
+        with open(os.path.join(os.path.dirname(path), bin_name), "wb") as f:
+            f.write(bytes(self.bin))
+        return path
+
+
+def quad(p0, p1, p2, p3) -> (np.ndarray, np.ndarray):
+    pos = np.array([p0, p1, p2, p3], dtype=np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], dtype=np.int64)
+    return pos, idx
+
+
+def make_cornell_gltf(path: str, light_strength: float = 20.0) -> str:
+    """Classic Cornell box: white floor/ceiling/back, red left, green right,
+    one emissive ceiling quad, two diffuse boxes."""
+    b = GltfBuilder()
+    white = b.add_material((0.73, 0.73, 0.73, 1))
+    red = b.add_material((0.65, 0.05, 0.05, 1))
+    green = b.add_material((0.12, 0.45, 0.15, 1))
+    light = b.add_material(
+        (0, 0, 0, 1), emissive=(1, 1, 1), emissive_strength=light_strength
+    )
+
+    # Box interior: x in [-1, 1], y in [0, 2], z in [-1, 1]; open front (+z).
+    b.add_mesh(*quad((-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)), material=white)
+    b.add_mesh(*quad((-1, 2, -1), (-1, 2, 1), (1, 2, 1), (1, 2, -1)), material=white)
+    b.add_mesh(*quad((-1, 0, -1), (-1, 2, -1), (1, 2, -1), (1, 0, -1)), material=white)
+    b.add_mesh(*quad((-1, 0, -1), (-1, 0, 1), (-1, 2, 1), (-1, 2, -1)), material=red)
+    b.add_mesh(*quad((1, 0, -1), (1, 2, -1), (1, 2, 1), (1, 0, 1)), material=green)
+    b.add_mesh(
+        *quad(
+            (-0.4, 1.998, -0.4),
+            (0.4, 1.998, -0.4),
+            (0.4, 1.998, 0.4),
+            (-0.4, 1.998, 0.4),
+        ),
+        material=light,
+    )
+
+    def box_mesh(cx, cz, sx, sy, sz, angle):
+        c, s = math.cos(angle), math.sin(angle)
+        verts = []
+        for dx in (-1, 1):
+            for dy in (0, 1):
+                for dz in (-1, 1):
+                    x, y, z = dx * sx, dy * sy, dz * sz
+                    verts.append((cx + c * x + s * z, y, cz - s * x + c * z))
+        v = np.array(verts, dtype=np.float32)
+        # vertex order: (dx,dy,dz) lexicographic -> index dx*4 + dy*2 + dz
+        faces = [
+            (0, 1, 3, 2),  # -x
+            (4, 6, 7, 5),  # +x
+            (0, 4, 5, 1),  # -z
+            (2, 3, 7, 6),  # +z
+            (0, 2, 6, 4),  # y=0
+            (1, 5, 7, 3),  # y=top
+        ]
+        idx = []
+        for f in faces:
+            idx += [f[0], f[1], f[2], f[0], f[2], f[3]]
+        return v, np.array(idx, dtype=np.int64)
+
+    b.add_mesh(*box_mesh(-0.35, -0.35, 0.3, 1.2, 0.3, 0.3), material=white)
+    b.add_mesh(*box_mesh(0.4, 0.35, 0.3, 0.6, 0.3, -0.25), material=white)
+
+    b.add_camera((0, 1.0, 3.8), yfov=0.62)
+    return b.write(path)
+
+
+def make_textured_cornell_gltf(path: str, light_strength: float = 20.0) -> str:
+    """Cornell variant with a checkerboard baseColor texture on the floor and
+    a gradient metallic-roughness texture on the back wall — exercises the
+    texture atlas, bilinear fetch, per-texel gamma decode and the glTF B=metal
+    / G=rough channel convention (src/geometry.h:623-626)."""
+    from PIL import Image
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    checker = np.zeros((8, 8, 3), dtype=np.uint8)
+    checker[(np.indices((8, 8)).sum(axis=0) % 2) == 0] = (230, 200, 120)
+    checker[(np.indices((8, 8)).sum(axis=0) % 2) == 1] = (40, 60, 160)
+    Image.fromarray(checker).save(os.path.join(d, "checker.png"))
+    mr = np.zeros((8, 8, 3), dtype=np.uint8)
+    mr[..., 1] = np.linspace(30, 220, 8, dtype=np.uint8)[None, :]  # roughness G
+    mr[..., 2] = np.linspace(220, 30, 8, dtype=np.uint8)[:, None]  # metallic B
+    Image.fromarray(mr).save(os.path.join(d, "mr.png"))
+
+    b = GltfBuilder()
+    checker_tex = b.add_texture("checker.png")
+    mr_tex = b.add_texture("mr.png")
+    white = b.add_material((0.73, 0.73, 0.73, 1))
+    floor_mat = b.add_material((1, 1, 1, 1), base_color_texture=checker_tex)
+    back_mat = b.add_material(
+        (0.7, 0.7, 0.7, 1),
+        metallic=1.0,
+        roughness=1.0,
+        metallic_roughness_texture=mr_tex,
+    )
+    light = b.add_material(
+        (0, 0, 0, 1), emissive=(1, 1, 1), emissive_strength=light_strength
+    )
+
+    uv_quad = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], dtype=np.float32)
+    pos, idx = quad((-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1))
+    b.add_mesh(pos, idx, material=floor_mat, uvs=uv_quad)
+    pos, idx = quad((-1, 2, -1), (-1, 2, 1), (1, 2, 1), (1, 2, -1))
+    b.add_mesh(pos, idx, material=white)
+    pos, idx = quad((-1, 0, -1), (-1, 2, -1), (1, 2, -1), (1, 0, -1))
+    b.add_mesh(pos, idx, material=back_mat, uvs=uv_quad / 2)
+    pos, idx = quad((-1, 0, -1), (-1, 0, 1), (-1, 2, 1), (-1, 2, -1))
+    b.add_mesh(pos, idx, material=white)
+    pos, idx = quad((1, 0, -1), (1, 2, -1), (1, 2, 1), (1, 0, 1))
+    b.add_mesh(pos, idx, material=white)
+    pos, idx = quad(
+        (-0.4, 1.998, -0.4), (0.4, 1.998, -0.4), (0.4, 1.998, 0.4), (-0.4, 1.998, 0.4)
+    )
+    b.add_mesh(pos, idx, material=light)
+    b.add_camera((0, 1.0, 3.8), yfov=0.62)
+    return b.write(path)
+
+
+def make_sphere_field_gltf(
+    path: str,
+    n_spheres: int = 64,
+    subdiv: int = 3,
+    seed: int = 0,
+    light_strength: float = 30.0,
+) -> str:
+    """Sponza-class synthetic benchmark scene: a floor, an emissive ceiling
+    panel and a field of icosphere meshes with mixed materials.  Triangle
+    count scales as n_spheres * 20 * 4^subdiv (64 spheres @ subdiv 3 ->
+    ~82k tris; 160 @ 4 -> ~820k)."""
+    rng = np.random.default_rng(seed)
+    b = GltfBuilder()
+    floor = b.add_material((0.6, 0.6, 0.6, 1))
+    light = b.add_material((0, 0, 0, 1), emissive=(1, 1, 1), emissive_strength=light_strength)
+
+    ext = 14.0
+    b.add_mesh(
+        *quad((-ext, 0, -ext), (ext, 0, -ext), (ext, 0, ext), (-ext, 0, ext)),
+        material=floor,
+    )
+    b.add_mesh(
+        *quad((-4, 11.5, -4), (4, 11.5, -4), (4, 11.5, 4), (-4, 11.5, 4)),
+        material=light,
+    )
+
+    verts, faces = _icosphere(subdiv)
+    for i in range(n_spheres):
+        col = rng.uniform(0.2, 0.95, size=3)
+        metallic = float(rng.random() < 0.35)
+        rough = float(rng.uniform(0.05, 0.9))
+        mat = b.add_material((*col, 1.0), metallic=metallic, roughness=rough)
+        radius = float(rng.uniform(0.35, 0.9))
+        pos = np.array(
+            [rng.uniform(-10, 10), radius + rng.uniform(0, 2.5), rng.uniform(-10, 10)]
+        )
+        v = verts * radius + pos
+        b.add_mesh(v.astype(np.float32), faces.reshape(-1), material=mat,
+                   normals=verts.astype(np.float32))
+    b.add_camera((0, 3.2, 13.0), yfov=0.8)
+    return b.write(path)
+
+
+def _icosphere(subdiv: int):
+    t = (1 + 5 ** 0.5) / 2
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdiv):
+        cache = {}
+        vlist = list(verts)
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = vlist[i] + vlist[j]
+                m /= np.linalg.norm(m)
+                vlist.append(m)
+                cache[key] = len(vlist) - 1
+            return cache[key]
+
+        new_faces = []
+        for a, bb, c in faces:
+            ab, bc, ca = midpoint(a, bb), midpoint(bb, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [bb, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(vlist)
+        faces = np.array(new_faces, dtype=np.int64)
+    return verts, faces
