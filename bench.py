@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: Mrays/s on a Sponza-class synthetic scene (single chip).
+
+The reference's headline number is Sponza 1000x1000 @1000 spp in ~47 min on a
+multi-core CPU — ~3.5e5 pixel-samples/s, i.e. ~1.4-2.8 Mrays/s counting <=8
+bounces per sample (BASELINE.md).  The course Sponza glTF is not
+redistributable (gitignored in the reference), so this bench renders a
+procedural scene of comparable triangle count (~82k tris: icosphere field +
+floor + area light) with the full estimator (VNDF/cosine/light MIS, textures
+path, alpha RR) and reports Mrays/s using the same ray-counting convention
+(pixels * spp * ray_depth).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is speedup over the top of the reference's derived range
+(2.8 Mrays/s).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+WIDTH = 512
+HEIGHT = 512
+SPP = 32
+BASELINE_MRAYS = 2.8  # top of the reference's derived range (BASELINE.md)
+
+
+def main() -> int:
+    platform = os.environ.get("TPU_PATHTRACER_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    from tpu_pathtracer.scene.gltf import parse_gltf_scene
+    from tpu_pathtracer.models.pathtracer import render
+    from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
+
+    tmp = tempfile.mkdtemp(prefix="bench_scene_")
+    path = make_sphere_field_gltf(
+        os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3
+    )
+    scene = parse_gltf_scene(path, WIDTH / HEIGHT)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(WIDTH, HEIGHT))
+    n_tris = int(scene.valid.sum())
+    print(f"bench scene: {n_tris} triangles, {WIDTH}x{HEIGHT} @ {SPP} spp",
+          file=sys.stderr)
+
+    # Warm-up pass compiles every (chunk, spp) specialization.
+    t0 = time.perf_counter()
+    render(scene, spp=SPP, seed=0)
+    warm = time.perf_counter() - t0
+    print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    img = render(scene, spp=SPP, seed=1)
+    dt = time.perf_counter() - t0
+    assert img.shape == (HEIGHT, WIDTH, 3)
+
+    rays = WIDTH * HEIGHT * SPP * scene.ray_depth
+    mrays = rays / dt / 1e6
+    print(
+        f"render: {dt:.2f}s, {WIDTH*HEIGHT*SPP/dt:.0f} pixel-samples/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "synthetic-sponza-82k-tris Mrays/s (512x512@32spp, depth 8)",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,59 @@
+"""Checkpoint/resume: interrupted renders must equal uninterrupted ones."""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from tpu_pathtracer.models.pathtracer import render
+from tpu_pathtracer.parallel.checkpoint import (
+    RenderState,
+    render_with_checkpoints,
+)
+from tpu_pathtracer.scene.gltf import parse_gltf_scene
+from tpu_pathtracer.utils.testscenes import make_cornell_gltf
+
+
+def _scene(tmp_path, w=16, h=16):
+    p = make_cornell_gltf(str(tmp_path / "c.gltf"))
+    s = parse_gltf_scene(p, w / h)
+    return dataclasses.replace(s, camera=s.camera.with_dims(w, h))
+
+
+def test_checkpointed_matches_plain(tmp_path):
+    scene = _scene(tmp_path)
+    want = render(scene, spp=6, seed=5)
+    got = render_with_checkpoints(
+        scene, spp=6, seed=5, checkpoint_path=str(tmp_path / "ck.npz"),
+        checkpoint_every=2,
+    )
+    # Pass-chunked accumulation reassociates the sample sum -> ulp noise.
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_resume_after_interruption(tmp_path):
+    scene = _scene(tmp_path)
+    ck = str(tmp_path / "ck.npz")
+    # Render only the first 4 samples (simulates dying at a checkpoint).
+    render_with_checkpoints(scene, spp=4, seed=9, checkpoint_path=ck,
+                            checkpoint_every=2)
+    st = RenderState.load(ck)
+    assert st.samples_done == 4
+    # Resume to 8: must continue the sample counter, not restart it.
+    resumed = render_with_checkpoints(scene, spp=8, seed=9, checkpoint_path=ck,
+                                      checkpoint_every=2)
+    uninterrupted = render_with_checkpoints(
+        scene, spp=8, seed=9, checkpoint_path=str(tmp_path / "ck2.npz"),
+        checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(resumed, uninterrupted)
+
+
+def test_mismatched_checkpoint_ignored(tmp_path):
+    scene = _scene(tmp_path)
+    ck = str(tmp_path / "ck.npz")
+    render_with_checkpoints(scene, spp=2, seed=1, checkpoint_path=ck)
+    # Different seed -> checkpoint must be ignored, not silently mixed in.
+    a = render_with_checkpoints(scene, spp=2, seed=2, checkpoint_path=ck)
+    b = render(scene, spp=2, seed=2)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)

@@ -40,7 +40,7 @@ from ..scene.types import (
     MAT_METALLIC,
     PrimitiveScene,
 )
-from .pathtracer import gen_rays, sanitize_nans
+from .pathtracer import gen_rays, per_pixel_uniforms, sanitize_nans
 
 
 def _schlick(cos_i: jnp.ndarray, ior: jnp.ndarray) -> jnp.ndarray:
@@ -143,14 +143,14 @@ def _whitted_trace(scene, origin, direction, depth, eps):
     return jnp.where(hit.hit[:, None], shaded, bg)
 
 
-def _mc_trace(scene, origin, direction, key, eps):
+def _mc_trace(scene, origin, direction, key, pixel_ids, eps):
     """Course-style MC path over primitives: scan over ray_depth bounces."""
     r = origin.shape[0]
 
     def bounce(carry, bounce_idx):
         o, d, throughput, radiance, alive = carry
         k = jax.random.fold_in(key, bounce_idx)
-        draws = jax.random.uniform(k, (r, 4), dtype=jnp.float32)
+        draws = per_pixel_uniforms(k, pixel_ids, 4)
 
         hit = closest_hit(o, d, scene, eps)
         bg = jnp.broadcast_to(scene.bg_color, o.shape)
@@ -199,12 +199,13 @@ def _mc_trace(scene, origin, direction, key, eps):
         d = where3(live, new_dir, d)
         return (o, d, throughput, radiance, live), None
 
+    # Varying-typed carry inits (see pathtracer.trace).
     init = (
         origin,
         direction,
-        jnp.ones((r, 3), jnp.float32),
-        jnp.zeros((r, 3), jnp.float32),
-        jnp.ones((r,), dtype=bool),
+        origin * 0.0 + 1.0,
+        origin * 0.0,
+        jnp.isfinite(origin[:, 0]),
     )
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
         bounce, init, jnp.arange(scene.ray_depth)
@@ -222,11 +223,11 @@ def _render_chunk(scene, chunk_start, key, n_rays, spp, config, mc):
 
     def body(s, acc):
         k = jax.random.fold_in(key, s)
-        offsets = jax.random.uniform(
-            jax.random.fold_in(k, 0x7FFFFFFF), (n_rays, 2), dtype=jnp.float32
+        offsets = per_pixel_uniforms(
+            jax.random.fold_in(k, 0x7FFFFFFF), pixel_ids, 2
         )
         o, d = gen_rays(scene.camera, pixel_ids, offsets)
-        rad = _mc_trace(scene, o, d, k, config.eps)
+        rad = _mc_trace(scene, o, d, k, pixel_ids, config.eps)
         return acc + sanitize_nans(rad)
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((n_rays, 3), jnp.float32))
@@ -255,9 +256,8 @@ def render_homebrew(
     out = np.zeros((npix, 3), dtype=np.float32)
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
-        ck = jax.random.fold_in(base, start)
         rad = _render_chunk(
-            scene, jnp.asarray(start, jnp.int32), ck, chunk, spp, config, mc
+            scene, jnp.asarray(start, jnp.int32), base, chunk, spp, config, mc
         )
         out[start : start + n] = np.asarray(rad[:n])
     return out.reshape(h, w, 3)

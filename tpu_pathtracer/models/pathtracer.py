@@ -58,8 +58,27 @@ def gen_rays(
     cx = (2.0 * (x + offsets[:, 0]) / w - 1.0) * tx
     cy = (2.0 * (y + offsets[:, 1]) / h - 1.0) * ty
     d = normalize(cx[:, None] * right - cy[:, None] * up + fwd[None, :])
-    o = jnp.broadcast_to(jnp.array(camera.position, dtype=jnp.float32), d.shape)
+    # Derive the (constant) origin from d so it inherits d's varying-axis
+    # type under shard_map (a broadcast constant would not).
+    o = d * 0.0 + jnp.array(camera.position, dtype=jnp.float32)
     return o, d
+
+
+def per_pixel_uniforms(
+    key: jax.Array, pixel_ids: jnp.ndarray, n_draws: int
+) -> jnp.ndarray:
+    """U[0,1) draws keyed per *pixel*, not per batch.
+
+    This is the TPU replacement for the reference's per-span LCG seeding
+    (src/raytracer.h:648): because every ray's stream is
+    fold_in(stage_key, pixel_id), the result is bit-identical for ANY batch
+    split or device sharding — the property the reference gets per-span, we
+    get per-pixel, which makes sharded rendering reproducible and resumable.
+    """
+    keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_ids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n_draws,), dtype=jnp.float32))(
+        keys
+    )
 
 
 def _interp(vals: jnp.ndarray, beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +143,7 @@ def trace(
     origin: jnp.ndarray,  # [R, 3]
     direction: jnp.ndarray,  # [R, 3]
     key: jax.Array,
+    pixel_ids: jnp.ndarray,  # [R] int32 (keys the per-ray RNG streams)
     config: RenderConfig,
 ) -> jnp.ndarray:  # [R, 3] radiance (NOT NaN-sanitized; caller does that)
     """One full path per input ray: scan over ray_depth wavefront bounces."""
@@ -136,7 +156,7 @@ def trace(
     def bounce(carry, bounce_idx):
         o, d, throughput, radiance, alive = carry
         k = jax.random.fold_in(key, bounce_idx)
-        draws = jax.random.uniform(k, (r, _DRAWS), dtype=jnp.float32)
+        draws = per_pixel_uniforms(k, pixel_ids, _DRAWS)
 
         hit = closest_hit(o, d, scene.woop, eps)
 
@@ -222,12 +242,14 @@ def trace(
         alive = moved
         return (o, d, throughput, radiance, alive), None
 
+    # Derive carry inits from the (possibly shard_map-varying) inputs so the
+    # scan carry keeps a consistent varying-axis type under shard_map.
     init = (
         origin,
         direction,
-        jnp.ones((r, 3), jnp.float32),
-        jnp.zeros((r, 3), jnp.float32),
-        jnp.ones((r,), dtype=bool),
+        origin * 0.0 + 1.0,  # throughput = 1
+        origin * 0.0,  # radiance = 0
+        jnp.isfinite(origin[:, 0]),  # alive = True
     )
     (o, d, throughput, radiance, alive), _ = jax.lax.scan(
         bounce, init, jnp.arange(scene.ray_depth)
@@ -260,11 +282,11 @@ def render_chunk(
     def body(s, acc):
         k = jax.random.fold_in(key, sample_start + s)
         # Pixel-jitter draws use a fold index no bounce can reach.
-        offsets = jax.random.uniform(
-            jax.random.fold_in(k, 0x7FFFFFFF), (n_rays, 2), dtype=jnp.float32
+        offsets = per_pixel_uniforms(
+            jax.random.fold_in(k, 0x7FFFFFFF), pixel_ids, 2
         )
         o, d = gen_rays(scene.camera, pixel_ids, offsets)
-        rad = trace(scene, o, d, k, config)
+        rad = trace(scene, o, d, k, pixel_ids, config)
         return acc + sanitize_nans(rad)
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((n_rays, 3), jnp.float32))
@@ -299,11 +321,12 @@ def render(
     out = np.zeros((npix, 3), dtype=np.float32)
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
-        ck = jax.random.fold_in(base, start)
+        # No per-chunk key fold: per-pixel RNG streams make any chunking of
+        # the pixel space produce identical results.
         rad = render_chunk(
             scene,
             jnp.asarray(start, jnp.int32),
-            ck,
+            base,
             jnp.asarray(0, jnp.int32),
             chunk,
             spp,

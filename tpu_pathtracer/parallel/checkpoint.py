@@ -1,0 +1,143 @@
+"""Checkpoint / resume for long renders.
+
+The reference has nothing here: a 47-minute Sponza render that dies restarts
+from scratch (README.md:4, SURVEY §5).  Counter-based per-pixel RNG makes
+checkpointing nearly free for us: the full render state is just the HDR
+accumulator plus the number of samples already folded in — resuming means
+continuing the sample counter from ``samples_done``.  Any crash loses at most
+one pass of work, and a resumed render is sample-for-sample identical to an
+uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..models.pathtracer import render_chunk
+from ..scene.types import TriangleScene
+
+
+@dataclasses.dataclass
+class RenderState:
+    """Resumable accumulation state: sum of per-sample radiance per pixel."""
+
+    accum: np.ndarray  # [H*W, 3] float32, SUM over samples (not mean)
+    samples_done: int
+    width: int
+    height: int
+    seed: int
+
+    @property
+    def image(self) -> np.ndarray:
+        """Current mean-radiance HDR image."""
+        n = max(self.samples_done, 1)
+        return (self.accum / n).reshape(self.height, self.width, 3)
+
+    def save(self, path: str) -> None:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        # Atomic write: a crash mid-save must not corrupt the checkpoint.
+        fd, tmp = tempfile.mkstemp(dir=parent or ".", suffix=".npz.tmp")
+        os.close(fd)
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f,
+                    accum=self.accum,
+                    samples_done=self.samples_done,
+                    width=self.width,
+                    height=self.height,
+                    seed=self.seed,
+                )
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    @staticmethod
+    def load(path: str) -> "RenderState":
+        z = np.load(path)
+        return RenderState(
+            accum=z["accum"],
+            samples_done=int(z["samples_done"]),
+            width=int(z["width"]),
+            height=int(z["height"]),
+            seed=int(z["seed"]),
+        )
+
+
+def render_with_checkpoints(
+    scene: TriangleScene,
+    spp: int,
+    seed: int = 0,
+    config: Optional[RenderConfig] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Like models.pathtracer.render, but accumulates in resumable passes.
+
+    Samples are rendered in passes of ``spp_per_pass``; after each pass the
+    accumulator is checkpointed.  If ``checkpoint_path`` exists and matches
+    the target resolution/seed, rendering resumes from ``samples_done``.
+    Returns the final [H, W, 3] HDR image.
+    """
+    config = config or RenderConfig()
+    cam = scene.camera
+    h, w = cam.height, cam.width
+    npix = h * w
+    if scene.ray_depth == 0:
+        return np.broadcast_to(
+            np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
+        ).copy()
+
+    state = None
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        cand = RenderState.load(checkpoint_path)
+        if (cand.width, cand.height, cand.seed) == (w, h, seed):
+            state = cand
+    if state is None:
+        state = RenderState(
+            accum=np.zeros((npix, 3), dtype=np.float32),
+            samples_done=0,
+            width=w,
+            height=h,
+            seed=seed,
+        )
+
+    base = jax.random.key(seed)
+    chunk = min(config.rays_per_batch, npix)
+    pass_spp = checkpoint_every or config.spp_per_pass
+
+    while state.samples_done < spp:
+        todo = min(pass_spp, spp - state.samples_done)
+        for start in range(0, npix, chunk):
+            n = min(chunk, npix - start)
+            rad = render_chunk(
+                scene,
+                jnp.asarray(start, jnp.int32),
+                base,
+                jnp.asarray(state.samples_done, jnp.int32),
+                chunk,
+                todo,
+                config,
+            )
+            # render_chunk returns the mean over `todo`; accumulate the sum.
+            state.accum[start : start + n] += np.asarray(rad[:n]) * todo
+        state.samples_done += todo
+        if checkpoint_path:
+            state.save(checkpoint_path)
+        if progress:
+            progress(state.samples_done, spp)
+
+    return state.image

@@ -1,0 +1,151 @@
+"""Multi-chip rendering over a ``jax.sharding.Mesh``.
+
+The reference's entire parallel runtime is a shared-memory thread pool pulling
+256-pixel spans off one ``std::atomic_int`` (src/raytracer.h:635-665, SURVEY
+§2 C10).  The TPU equivalent is SPMD over a device mesh:
+
+* axis ``"rays"`` — pixels sharded across devices (the DP analog of spans);
+* axis ``"spp"``  — sample ranges sharded across devices, merged with a
+  ``psum`` that rides the ICI;
+* the scene (triangles, materials, atlas, light set) is *replicated* —
+  course-scale scenes are far below per-chip HBM, exactly like every worker
+  thread sharing the read-only ``RaytracerStaticContext``.
+
+The dynamic atomic span queue becomes static even sharding: XLA's SPMD model
+wants identical per-device programs, and per-pixel counter-based RNG
+(``per_pixel_uniforms``) makes the result bit-identical to the single-device
+render for any mesh shape — load balance comes from the wavefront itself.
+There is deliberately no TP/PP/SP analog: the reference has no weights to
+shard and no sequence axis (SURVEY §5); scaling axes are pixels and samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..models.pathtracer import gen_rays, per_pixel_uniforms, sanitize_nans, trace
+from ..scene.types import TriangleScene
+
+
+def make_mesh(
+    devices=None, rays: Optional[int] = None, spp: int = 1
+) -> Mesh:
+    """Build a ('rays', 'spp') mesh.  Default: all devices on the rays axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if rays is None:
+        rays = n // spp
+    assert rays * spp == n, f"mesh {rays}x{spp} != {n} devices"
+    return Mesh(devices.reshape(rays, spp), axis_names=("rays", "spp"))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_rays_global", "spp", "config", "mesh"),
+)
+def render_pass_sharded(
+    scene: TriangleScene,
+    chunk_start: jnp.ndarray,  # [] int32 — first linear pixel id of the pass
+    key: jax.Array,
+    sample_start: jnp.ndarray,  # [] int32 — resume offset into the spp stream
+    n_rays_global: int,
+    spp: int,
+    config: RenderConfig,
+    mesh: Mesh,
+) -> jnp.ndarray:  # [n_rays_global, 3] mean radiance over spp
+    """One sharded accumulation pass: pixels split over 'rays', samples split
+    over 'spp', psum-merged.  Bit-identical to the host-loop renderer."""
+    n_rays_mesh = mesh.shape["rays"]
+    n_spp_mesh = mesh.shape["spp"]
+    assert n_rays_global % n_rays_mesh == 0
+    assert spp % n_spp_mesh == 0
+    n_local = n_rays_global // n_rays_mesh
+    spp_local = spp // n_spp_mesh
+
+    def shard_body(scene_rep: TriangleScene, chunk_start, key, sample_start):
+        ray_idx = jax.lax.axis_index("rays")
+        spp_idx = jax.lax.axis_index("spp")
+        pixel_ids = chunk_start + ray_idx * n_local + jnp.arange(n_local)
+        # Mark the per-device ids as varying over the whole mesh so every
+        # derived scan carry has a consistent varying-axis type (pcast only
+        # accepts axes the value does not already vary over).
+        pixel_ids = jax.lax.pcast(pixel_ids, ("spp",), to="varying")
+
+        def body(s, acc):
+            global_s = sample_start + spp_idx * spp_local + s
+            k = jax.random.fold_in(key, global_s)
+            offsets = per_pixel_uniforms(
+                jax.random.fold_in(k, 0x7FFFFFFF), pixel_ids, 2
+            )
+            o, d = gen_rays(scene_rep.camera, pixel_ids, offsets)
+            rad = trace(scene_rep, o, d, k, pixel_ids, config)
+            return acc + sanitize_nans(rad)
+
+        acc0 = jax.lax.pcast(
+            jnp.zeros((n_local, 3), jnp.float32), ("rays", "spp"), to="varying"
+        )
+        acc = jax.lax.fori_loop(0, spp_local, body, acc0)
+        # Merge the sample shards over ICI; every 'spp' rank ends up with the
+        # full mean so the output is replicated along that axis.
+        acc = jax.lax.psum(acc, "spp")
+        return acc / spp
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(scene_specs, P(), P(), P()),
+        out_specs=P("rays", None),
+    )(scene, chunk_start, key, sample_start)
+
+
+def render_sharded(
+    scene: TriangleScene,
+    spp: int,
+    seed: int = 0,
+    config: Optional[RenderConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """Full-frame multi-chip render -> host numpy [H, W, 3] float32 HDR."""
+    config = config or RenderConfig()
+    mesh = mesh or make_mesh()
+    cam = scene.camera
+    h, w = cam.height, cam.width
+    npix = h * w
+    if scene.ray_depth == 0:
+        return np.broadcast_to(
+            np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
+        ).copy()
+
+    n_rays_mesh = mesh.shape["rays"]
+    n_spp_mesh = mesh.shape["spp"]
+    spp_eff = max(spp, n_spp_mesh)
+    spp_eff += (-spp_eff) % n_spp_mesh
+    # Global chunk: per-device batch size * ray shards, capped to the frame.
+    chunk = min(config.rays_per_batch * n_rays_mesh, npix)
+    chunk += (-chunk) % n_rays_mesh
+
+    base = jax.random.key(seed)
+    out = np.zeros((npix, 3), dtype=np.float32)
+    for start in range(0, npix, chunk):
+        n = min(chunk, npix - start)
+        rad = render_pass_sharded(
+            scene,
+            jnp.asarray(start, jnp.int32),
+            base,
+            jnp.asarray(0, jnp.int32),
+            chunk,
+            spp_eff,
+            config,
+            mesh,
+        )
+        out[start : start + n] = np.asarray(rad[:n])
+    return out.reshape(h, w, 3)
