@@ -58,8 +58,9 @@ class RenderConfig:
     # --- SPAN_SIZE/USE_MULTITHREADING thread-pool pair, src/config.h:7-13).
     # Number of rays processed per device per wavefront megabatch.  Spans of
     # 256 pixels fed a CPU thread pool in the reference; here a megabatch
-    # feeds the whole chip and XLA tiles it over the VPU/MXU.
-    rays_per_batch: int = 1 << 17
+    # feeds the whole chip and XLA tiles it over the VPU/MXU.  The traversal
+    # workspace scales as rays * leaves * 4B, so this also bounds HBM use.
+    rays_per_batch: int = 1 << 14
 
     # Samples per pixel accumulated per device pass.  The accumulator is
     # checkpointable between passes (the reference had no checkpointing).

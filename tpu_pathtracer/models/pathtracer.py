@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import bsdf, sampling, texture
 from ..ops.intersect import Hit, closest_hit, light_pdf_sum
+from ..ops.traverse import closest_hit_leaves
 from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
 from ..scene.types import Camera, TriangleScene
 
@@ -78,6 +79,26 @@ def per_pixel_uniforms(
     keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_ids)
     return jax.vmap(lambda k: jax.random.uniform(k, (n_draws,), dtype=jnp.float32))(
         keys
+    )
+
+
+def scene_closest_hit(
+    scene: TriangleScene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    min_dst: float,
+) -> Hit:
+    """Closest hit against the scene: small scenes take the dense single-block
+    sweep; larger ones the Morton-leaf culled traversal (ops/traverse.py)."""
+    if scene.capacity <= 1024:
+        return closest_hit(origin, direction, scene.woop, min_dst)
+    return closest_hit_leaves(
+        origin,
+        direction,
+        scene.leaf_aabb_min,
+        scene.leaf_aabb_max,
+        scene.leaf_woop,
+        min_dst,
     )
 
 
@@ -158,7 +179,7 @@ def trace(
         k = jax.random.fold_in(key, bounce_idx)
         draws = per_pixel_uniforms(k, pixel_ids, _DRAWS)
 
-        hit = closest_hit(o, d, scene.woop, eps)
+        hit = scene_closest_hit(scene, o, d, eps)
 
         env = texture.env_radiance(
             scene.atlas, scene.env_tex, scene.bg_color, d, config.use_textures

@@ -1,0 +1,94 @@
+"""Acceleration-structure build: Morton-ordered triangle leaves.
+
+Replaces the reference's recursive sweep-SAH BVH (``BVH::build``,
+src/bvh.h:262-394) with a TPU-native layout.  A deep binary tree is the wrong
+shape for a machine with no per-lane control flow; instead we build a
+*shallow, wide* structure:
+
+* triangles are sorted along a 30-bit Morton curve of their centroids (the
+  LBVH ordering — spatially close triangles become memory-adjacent);
+* consecutive runs of ``LEAF_SIZE`` triangles form leaves with AABBs;
+* traversal (ops/traverse.py) culls with ONE dense ray x leaf-AABB test and
+  then intersects only each ray's nearest leaves, in front-to-back order.
+
+The build is host-side numpy (a one-time cost, like the reference's build;
+O(n log n) sort instead of per-node O(n log^2 n) sweeps) and also re-orders
+every per-triangle scene array, which doubles as a data-locality win for the
+gather-heavy shade stage.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+LEAF_SIZE = 16
+
+
+def morton_order(verts: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Permutation sorting valid triangles along a 3D Morton curve (invalid
+    rows go last).  verts: [N, 3, 3]."""
+    n = verts.shape[0]
+    centroid = verts.mean(axis=1)
+    c = centroid[valid]
+    if c.shape[0] == 0:
+        return np.arange(n)
+    lo = c.min(axis=0)
+    hi = c.max(axis=0)
+    ext = np.maximum(hi - lo, 1e-30)
+    q = np.clip(((c - lo) / ext * 1023.0).astype(np.uint64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    order_valid = np.argsort(code, kind="stable")
+    idx_valid = np.nonzero(valid)[0][order_valid]
+    idx_invalid = np.nonzero(~valid)[0]
+    return np.concatenate([idx_valid, idx_invalid])
+
+
+def build_leaves(
+    verts: np.ndarray, valid: np.ndarray, leaf_size: int = LEAF_SIZE
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Leaf AABBs over consecutive (Morton-ordered) triangle runs.
+
+    Returns (aabb_min [L, 3], aabb_max [L, 3]); leaves containing only
+    padding triangles get inverted (never-hit) boxes.  Assumes the caller has
+    already applied morton_order to verts/valid and that len % leaf_size == 0.
+    """
+    n = verts.shape[0]
+    assert n % leaf_size == 0
+    l = n // leaf_size
+    v = verts.reshape(l, leaf_size, 3, 3)
+    ok = valid.reshape(l, leaf_size)
+    big = np.float64(np.inf)
+    vmin = np.where(ok[:, :, None, None], v, big).min(axis=(1, 2))
+    vmax = np.where(ok[:, :, None, None], v, -big).max(axis=(1, 2))
+    empty = ~ok.any(axis=1)
+    vmin[empty] = big
+    vmax[empty] = -big
+    return vmin.astype(np.float32), vmax.astype(np.float32)
+
+
+def leaf_woop(woop_cols: np.ndarray, leaf_size: int = LEAF_SIZE) -> np.ndarray:
+    """Re-layout the [4, 3N] Woop matrix into per-leaf blocks [L, 12, S].
+
+    Row layout r = 4*c + k: coefficient k (x, y, z, const) of barycentric
+    component c (beta, gamma, n-height) — so a gathered leaf block feeds six
+    [R]x[S] broadcast contractions with no lane-dim reshapes (TPU-friendly).
+    """
+    four, n3 = woop_cols.shape
+    assert four == 4
+    n = n3 // 3
+    assert n % leaf_size == 0
+    l = n // leaf_size
+    w = woop_cols.reshape(4, n, 3)  # [k, tri, c]
+    w = np.transpose(w, (2, 0, 1))  # [c, k, tri]
+    w = w.reshape(12, l, leaf_size)  # rows 4c+k
+    return np.ascontiguousarray(np.transpose(w, (1, 0, 2)).astype(np.float32))

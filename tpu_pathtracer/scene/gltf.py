@@ -404,6 +404,7 @@ def _pack_triangle_scene(
     config: RenderConfig,
 ) -> T.TriangleScene:
     from ..ops.intersect import build_woop, tri_capacity
+    from .accel import LEAF_SIZE, build_leaves, leaf_woop, morton_order
 
     n = acc.n_tris()
     cap = tri_capacity(n)
@@ -432,6 +433,16 @@ def _pack_triangle_scene(
     valid = np.zeros(cap, dtype=bool)
     valid[:n] = True
 
+    # Morton-sort all per-triangle data (the traversal layout — and a
+    # locality win for shade-stage gathers).
+    perm = morton_order(verts, valid)
+    verts = verts[perm]
+    normals = normals[perm]
+    uvs = uvs[perm]
+    tangents = tangents[perm]
+    mats = mats[perm]
+    valid = valid[perm]
+
     emission = mats[:, 4:7].astype(np.float32)
     # Emissive predicate matches the light-BVH filter: the *factor* decides
     # (src/raytracer.h:444-447), textures don't.
@@ -457,13 +468,20 @@ def _pack_triangle_scene(
 
     bg = np.full(3, config.env_map_intensity, dtype=np.float32)  # src/main.cpp:28
 
+    woop_cols = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    lw = leaf_woop(woop_cols, LEAF_SIZE)
+
     return T.TriangleScene(
         verts=jnp.asarray(verts),
         normals=jnp.asarray(normals),
         uvs=jnp.asarray(uvs),
         tangents=jnp.asarray(tangents),
         valid=jnp.asarray(valid),
-        woop=jnp.asarray(build_woop(verts, valid)),
+        woop=jnp.asarray(woop_cols),
+        leaf_aabb_min=jnp.asarray(lmin),
+        leaf_aabb_max=jnp.asarray(lmax),
+        leaf_woop=jnp.asarray(lw),
         color=jnp.asarray(mats[:, 0:4].astype(np.float32)),
         emission=jnp.asarray(emission),
         metallic=jnp.asarray(mats[:, 7].astype(np.float32)),

@@ -152,6 +152,13 @@ class TriangleScene:
     # degenerate/padding triangles are NaN so they can never win a hit.
     woop: jnp.ndarray  # [4, 3N] float32, columns grouped 3-per-triangle
 
+    # Morton-leaf acceleration structure (scene/accel.py, ops/traverse.py):
+    # triangles are Morton-sorted at pack time; every LEAF_SIZE consecutive
+    # triangles form a leaf with an AABB and a re-laid-out Woop block.
+    leaf_aabb_min: jnp.ndarray  # [L, 3] float32 (inf on empty leaves)
+    leaf_aabb_max: jnp.ndarray  # [L, 3]
+    leaf_woop: jnp.ndarray  # [L, 12, LEAF_SIZE] float32
+
     # Per-triangle material (flattened from the glTF material table)
     color: jnp.ndarray  # [N, 4] baseColorFactor RGBA
     emission: jnp.ndarray  # [N, 3] emissiveFactor * emissiveStrength
