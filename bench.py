@@ -29,11 +29,9 @@ BASELINE_MRAYS = 2.8  # top of the reference's derived range (BASELINE.md)
 
 
 def main() -> int:
-    platform = os.environ.get("TPU_PATHTRACER_PLATFORM")
-    if platform:
-        import jax
+    from tpu_pathtracer.cli import setup_backend
 
-        jax.config.update("jax_platforms", platform)
+    setup_backend()
 
     from tpu_pathtracer.scene.gltf import parse_gltf_scene
     from tpu_pathtracer.models.pathtracer import render

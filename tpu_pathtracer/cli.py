@@ -89,13 +89,33 @@ def render_scene_file(
     return hdr, metrics
 
 
-def main(argv: Optional[List[str]] = None) -> int:
-    # Backend override (e.g. TPU_PATHTRACER_PLATFORM=cpu for host-only runs).
+def setup_backend() -> None:
+    """Apply backend env overrides + persistent compilation cache.
+
+    ``TPU_PATHTRACER_PLATFORM=cpu`` forces a backend; the compilation cache
+    (default ``~/.cache/tpu_pathtracer/jit``) makes repeat renders skip the
+    multi-minute XLA compile — disable with TPU_PATHTRACER_NO_CACHE=1.
+    """
+    import jax
+
     platform = os.environ.get("TPU_PATHTRACER_PLATFORM")
     if platform:
-        import jax
-
         jax.config.update("jax_platforms", platform)
+    if not os.environ.get("TPU_PATHTRACER_NO_CACHE"):
+        cache_dir = os.environ.get(
+            "TPU_PATHTRACER_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "tpu_pathtracer", "jit"),
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # cache is an optimization; never fail a render over it
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    setup_backend()
 
     argv = list(sys.argv if argv is None else argv)
     if len(argv) < 6:

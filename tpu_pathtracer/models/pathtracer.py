@@ -340,18 +340,24 @@ def render(
     chunk = min(config.rays_per_batch, npix)
     base = jax.random.key(seed)
     out = np.zeros((npix, 3), dtype=np.float32)
+    # Work is dispatched in (pixel-chunk, spp-pass) tiles: bounded device
+    # executions keep peak memory flat and stay under any runtime watchdog,
+    # and per-pixel RNG keys make the tiling observationally irrelevant.
+    pass_spp = max(1, min(config.spp_per_pass, spp))
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
-        # No per-chunk key fold: per-pixel RNG streams make any chunking of
-        # the pixel space produce identical results.
-        rad = render_chunk(
-            scene,
-            jnp.asarray(start, jnp.int32),
-            base,
-            jnp.asarray(0, jnp.int32),
-            chunk,
-            spp,
-            config,
-        )
-        out[start : start + n] = np.asarray(rad[:n])
+        acc = np.zeros((n, 3), dtype=np.float32)
+        for s0 in range(0, spp, pass_spp):
+            todo = min(pass_spp, spp - s0)
+            rad = render_chunk(
+                scene,
+                jnp.asarray(start, jnp.int32),
+                base,
+                jnp.asarray(s0, jnp.int32),
+                chunk,
+                todo,
+                config,
+            )
+            acc += np.asarray(rad[:n]) * todo
+        out[start : start + n] = acc / spp
     return out.reshape(h, w, 3)
