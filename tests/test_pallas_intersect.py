@@ -1,0 +1,71 @@
+"""Pallas chunk intersector vs the dense oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_pathtracer.ops.intersect import build_woop, closest_hit, tri_capacity
+from tpu_pathtracer.ops.pallas_intersect import (
+    CHUNK_TRIS,
+    build_chunk_woop,
+    closest_hit_chunks,
+)
+from tpu_pathtracer.scene.accel import (
+    LEAF_SIZE,
+    build_leaves,
+    chunk_aabbs,
+    leaf_woop,
+    morton_order,
+)
+
+EPS = 1e-4
+
+
+def _scene(n_tris, seed, spread=5.0):
+    rng = np.random.default_rng(seed)
+    center = rng.uniform(-spread, spread, size=(n_tris, 1, 3))
+    verts = center + rng.uniform(-0.5, 0.5, size=(n_tris, 3, 3))
+    cap = tri_capacity(n_tris)
+    out = np.full((cap, 3, 3), 1e30, dtype=np.float64)
+    out[:n_tris] = verts
+    valid = np.zeros(cap, dtype=bool)
+    valid[:n_tris] = True
+    perm = morton_order(out, valid)
+    return out[perm], valid[perm]
+
+
+def test_chunk_kernel_matches_dense_interpret():
+    verts, valid = _scene(2000, seed=0)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+
+    rng = np.random.default_rng(1)
+    r = 256
+    o = rng.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    dense = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(woop), EPS)
+    pk = closest_hit_chunks(
+        jnp.asarray(o),
+        jnp.asarray(d),
+        jnp.asarray(cw),
+        jnp.asarray(cmin),
+        jnp.asarray(cmax),
+        jnp.asarray(woop),
+        EPS,
+        ray_tile=128,
+        interpret=True,
+    )
+    hd, hp = np.asarray(dense.hit), np.asarray(pk.hit)
+    assert (hd == hp).mean() > 0.995
+    both = hd & hp
+    np.testing.assert_allclose(
+        np.asarray(pk.t)[both], np.asarray(dense.t)[both], rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(pk.tri)[both] == np.asarray(dense.tri)[both]).mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(pk.beta)[both], np.asarray(dense.beta)[both],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -88,10 +88,30 @@ def scene_closest_hit(
     direction: jnp.ndarray,
     min_dst: float,
 ) -> Hit:
-    """Closest hit against the scene: small scenes take the dense single-block
-    sweep; larger ones the Morton-leaf culled traversal (ops/traverse.py)."""
+    """Closest hit against the scene.
+
+    Small scenes take the dense single-block sweep.  Larger ones use the
+    Pallas chunk-skipping intersector on TPU-class backends, and the XLA
+    Morton-leaf traversal elsewhere (CPU tests, interpret-unfriendly hosts).
+    """
     if scene.capacity <= 1024:
         return closest_hit(origin, direction, scene.woop, min_dst)
+    from ..ops.pallas_intersect import RAY_TILE, closest_hit_chunks
+
+    use_pallas = (
+        jax.default_backend() in ("tpu", "axon")
+        and origin.shape[0] % RAY_TILE == 0
+    )
+    if use_pallas:
+        return closest_hit_chunks(
+            origin,
+            direction,
+            scene.chunk_woop,
+            scene.chunk_aabb_min,
+            scene.chunk_aabb_max,
+            scene.woop,
+            min_dst,
+        )
     return closest_hit_leaves(
         origin,
         direction,
@@ -117,34 +137,48 @@ def hit_info(
     """Port of ``to_intersection_info`` (src/bvh.h:80-121) over the wavefront.
 
     Unlike the reference — which fetches textures inside BVH hit finalization
-    — this is an explicit shade-stage gather over the compact hit batch."""
+    — this is an explicit shade-stage gather over the compact hit batch; all
+    per-triangle attributes arrive via ONE packed-row gather (row gathers are
+    the TPU's weak spot, so ten array lookups became one)."""
     tri = hit.tri
-    v = scene.verts[tri]  # [R, 3, 3]
+    row = scene.shade_attrs[tri]  # [R, 48] — the single gather
+    v = row[:, 0:9].reshape(-1, 3, 3)
+    tri_normals = row[:, 9:18].reshape(-1, 3, 3)
+    tri_uvs = row[:, 18:24].reshape(-1, 3, 2)
+    tri_tangents = row[:, 24:33].reshape(-1, 3, 3)
+    base_color = row[:, 33:37]
+    base_emission = row[:, 37:40]
+    base_metallic = row[:, 40]
+    base_roughness = row[:, 41]
+    ior = row[:, 42]
+    color_tex = row[:, 43].astype(jnp.int32)
+    emissive_tex = row[:, 44].astype(jnp.int32)
+    mr_tex = row[:, 45].astype(jnp.int32)
+    normal_tex = row[:, 46].astype(jnp.int32)
+
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
     g_normal = normalize(cross(e1, e2))  # Object::base_normal
     inside = dot(g_normal, direction) > 0
 
-    smooth = normalize(_interp(scene.normals[tri], hit.beta, hit.gamma))
+    smooth = normalize(_interp(tri_normals, hit.beta, hit.gamma))
     smooth = where3(dot(g_normal, smooth) < 0, -smooth, smooth)
 
-    uv = _interp(scene.uvs[tri], hit.beta, hit.gamma)  # tex_coord_at
+    uv = _interp(tri_uvs, hit.beta, hit.gamma)  # tex_coord_at
 
-    tangent = normalize(_interp(scene.tangents[tri], hit.beta, hit.gamma))
+    tangent = normalize(_interp(tri_tangents, hit.beta, hit.gamma))
     bitangent = cross(smooth, tangent)
     use_tex = config.use_textures
-    normal_loc = texture.sample_normal(scene.atlas, scene.normal_tex[tri], uv, use_tex)
+    normal_loc = texture.sample_normal(scene.atlas, normal_tex, uv, use_tex)
     shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
 
-    color = scene.color[tri] * texture.sample(
-        scene.atlas, scene.color_tex[tri], uv, 2.2, use_tex
-    )
-    emission = scene.emission[tri] * texture.sample(
-        scene.atlas, scene.emissive_tex[tri], uv, 2.2, use_tex
+    color = base_color * texture.sample(scene.atlas, color_tex, uv, 2.2, use_tex)
+    emission = base_emission * texture.sample(
+        scene.atlas, emissive_tex, uv, 2.2, use_tex
     )[:, :3]
-    mr = texture.sample(scene.atlas, scene.mr_tex[tri], uv, 1.0, use_tex)
-    metallic = scene.metallic[tri] * mr[:, 2]  # B channel (src/geometry.h:625)
-    roughness = scene.roughness[tri] * mr[:, 1]  # G channel
+    mr = texture.sample(scene.atlas, mr_tex, uv, 1.0, use_tex)
+    metallic = base_metallic * mr[:, 2]  # B channel (src/geometry.h:625)
+    roughness = base_roughness * mr[:, 1]  # G channel
 
     flip = inside[:, None]
     return dict(
@@ -155,7 +189,7 @@ def hit_info(
         emission=emission,
         metallic=metallic,
         roughness=roughness,
-        ior=scene.ior[tri],
+        ior=ior,
     )
 
 
@@ -173,11 +207,27 @@ def trace(
     vf = config.vndf_factor
     lights = scene.lights
     has_light_rows = lights.capacity > 0
+    # Wavefront ray sorting (large scenes only): reorder the whole carry by a
+    # coherence key each bounce so the Pallas intersector's tile-level chunk
+    # unions stay tight.  Per-pixel RNG keys make the reorder observationally
+    # free; the carried pixel ids recover the output order.
+    sort_rays = scene.capacity > 1024 and r >= 2048
+    if sort_rays:
+        scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
+        scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
 
     def bounce(carry, bounce_idx):
-        o, d, throughput, radiance, alive = carry
+        o, d, throughput, radiance, alive, pids = carry
+        if sort_rays:
+            from ..ops.pallas_intersect import ray_sort_key
+
+            perm = jnp.argsort(ray_sort_key(o, d, alive, scene_lo, scene_hi))
+            o, d, throughput, radiance, alive, pids = (
+                o[perm], d[perm], throughput[perm], radiance[perm],
+                alive[perm], pids[perm],
+            )
         k = jax.random.fold_in(key, bounce_idx)
-        draws = per_pixel_uniforms(k, pixel_ids, _DRAWS)
+        draws = per_pixel_uniforms(k, pids, _DRAWS)
 
         hit = scene_closest_hit(scene, o, d, eps)
 
@@ -261,7 +311,11 @@ def trace(
         o = where3(moved, pos, o)
         d = where3(cont, new_dir, d)
         alive = moved
-        return (o, d, throughput, radiance, alive), None
+        if sort_rays:
+            # Null dead rays to a far-away origin: their tiles then miss
+            # every chunk AABB and the intersector skips them entirely.
+            o = where3(alive, o, jnp.full((3,), 1e30, o.dtype))
+        return (o, d, throughput, radiance, alive, pids), None
 
     # Derive carry inits from the (possibly shard_map-varying) inputs so the
     # scan carry keeps a consistent varying-axis type under shard_map.
@@ -271,13 +325,18 @@ def trace(
         origin * 0.0 + 1.0,  # throughput = 1
         origin * 0.0,  # radiance = 0
         jnp.isfinite(origin[:, 0]),  # alive = True
+        pixel_ids,
     )
-    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+    (o, d, throughput, radiance, alive, pids), _ = jax.lax.scan(
         bounce, init, jnp.arange(scene.ray_depth)
     )
     # Depth exhaustion: the reference's deepest call returns {0,0,0}, which a
     # NaN throughput chain turns into NaN (src/raytracer.h:596-598).
     radiance = radiance + jnp.where(alive[:, None], throughput * 0.0, 0.0)
+    if sort_rays:
+        # Undo the accumulated per-bounce permutations.
+        order = jnp.argsort(pids)
+        radiance = radiance[order]
     return radiance
 
 
@@ -344,9 +403,13 @@ def render(
     # executions keep peak memory flat and stay under any runtime watchdog,
     # and per-pixel RNG keys make the tiling observationally irrelevant.
     pass_spp = max(1, min(config.spp_per_pass, spp))
+    # Dispatch every (chunk, pass) tile asynchronously and accumulate on
+    # device; a single readback per chunk at the end.  Keeps the device busy
+    # instead of paying a host round-trip per dispatch.
+    pending = []
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
-        acc = np.zeros((n, 3), dtype=np.float32)
+        acc = None
         for s0 in range(0, spp, pass_spp):
             todo = min(pass_spp, spp - s0)
             rad = render_chunk(
@@ -358,6 +421,9 @@ def render(
                 todo,
                 config,
             )
-            acc += np.asarray(rad[:n]) * todo
-        out[start : start + n] = acc / spp
+            contrib = rad * float(todo)
+            acc = contrib if acc is None else acc + contrib
+        pending.append((start, n, acc))
+    for start, n, acc in pending:
+        out[start : start + n] = np.asarray(acc[:n]) / spp
     return out.reshape(h, w, 3)

@@ -1,0 +1,261 @@
+"""Pallas TPU kernel: chunk-skipping wavefront intersector.
+
+The hot loop of the whole framework.  Measurement on real scenes showed the
+gather-based leaf traversal (ops/traverse.py) is HBM-bound: a secondary ray
+pierces ~70 leaf AABBs, and gathering each pierced leaf's triangle block from
+HBM costs ~50 KB of random-access traffic per ray-bounce.  This kernel
+inverts the dataflow so triangle data *streams* HBM->VMEM in large
+sequential blocks instead:
+
+* triangles (already Morton-ordered) are grouped into chunks of
+  ``CHUNK_TRIS`` = 128 — one full VPU lane width;
+* a cheap XLA prepass computes, per (ray-tile, chunk), whether ANY ray in
+  the tile enters the chunk's AABB (the wavefront analog of a BVH node
+  test, src/bvh.h:195-235);
+* the kernel runs on a (ray_tile, chunk) grid: inactive (tile, chunk) steps
+  are predicated off with ``@pl.when`` — Morton locality makes most steps
+  inactive for coherent tiles — and active steps evaluate the exact
+  Woop/Cramer test for all RT x 128 (ray, triangle) pairs on the VPU,
+  min-accumulating (t, triangle id) into VMEM-resident outputs.
+
+No per-ray gathers, no sorting, no divergence: skipped work is the only
+control flow, at tile granularity, which is exactly what the TPU's
+SIMD-with-predication model executes well.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit, _PRECISION
+
+RAY_TILE = 512  # rays per grid tile
+CHUNK_TRIS = 128  # triangles per chunk (= 8 leaves of 16)
+
+
+def _kernel(active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
+        tidx_ref[:] = jnp.zeros_like(tidx_ref)
+
+    @pl.when(active_ref[i, j] > 0)
+    def _body():
+        rays = rays_ref[:]  # [RT, 8] = (o, 1, d, 0)
+        w = wc_ref[0]  # [12, CHUNK_TRIS]
+        o1 = rays[:, 0:4]
+        d0 = rays[:, 4:8]
+
+        def contract(x, r0):
+            return jnp.dot(
+                x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )
+
+        p0, p1, p2 = contract(o1, 0), contract(o1, 4), contract(o1, 8)
+        q0, q1, q2 = contract(d0, 0), contract(d0, 4), contract(d0, 8)
+        t = -p2 / q2
+        beta = p0 + t * q0
+        gamma = p1 + t * q1
+        ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= min_dst)
+        t_m = jnp.where(ok, t, jnp.inf)
+
+        chunk_min = jnp.min(t_m, axis=1, keepdims=True)  # [RT, 1]
+        chunk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)  # [RT]
+        cur = tmin_ref[:]
+        better = chunk_min < cur
+        tmin_ref[:] = jnp.where(better, chunk_min, cur)
+        tidx_ref[:] = jnp.where(
+            better, j * CHUNK_TRIS + chunk_arg[:, None], tidx_ref[:]
+        )
+
+
+_ACT_TILE = 256  # rays per activity-kernel tile (bounds VMEM at large C)
+
+
+def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
+    """Per-tile chunk-AABB slab test, fully fused in VMEM: out[c] = 1 iff any
+    ray in this tile enters chunk c's AABB (the XLA version materialized
+    [R, C, 3] intermediates in HBM)."""
+    rays = rays_ref[:]  # [AT, 8]
+    aabb = aabb_ref[:]  # [8, C]: rows minx..maxz
+    t_lo = None
+    t_hi = None
+    for a in range(3):
+        o = rays[:, a : a + 1]
+        inv = 1.0 / rays[:, 4 + a : 5 + a]
+        t1 = (aabb[a][None, :] - o) * inv  # [AT, C]
+        t2 = (aabb[3 + a][None, :] - o) * inv
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        t_lo = lo if t_lo is None else jnp.maximum(t_lo, lo)
+        t_hi = hi if t_hi is None else jnp.minimum(t_hi, hi)
+    hit = (t_lo <= t_hi) & (t_hi >= min_dst)
+    out_ref[pl.program_id(0), :] = jnp.any(hit, axis=0).astype(jnp.int32)
+
+
+def tile_chunk_activity(
+    rays: jnp.ndarray,  # [R, 8] packed (o, 1, d, 0)
+    aabb_rows: jnp.ndarray,  # [8, C] rows minx,miny,minz,maxx,maxy,maxz,0,0
+    min_dst: float,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [T, C] int32 (1 where any ray in tile enters the chunk)
+    r = rays.shape[0]
+    c = aabb_rows.shape[1]
+    at = min(_ACT_TILE, ray_tile)
+    sub = r // at
+    out = pl.pallas_call(
+        functools.partial(_activity_kernel, min_dst=min_dst),
+        grid=(sub,),
+        in_specs=[
+            pl.BlockSpec((at, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        # Whole-array output block (rows aren't 8-divisible per tile); each
+        # grid step writes its own row.
+        out_specs=pl.BlockSpec((sub, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sub, c), jnp.int32),
+        interpret=interpret,
+    )(rays, aabb_rows)
+    # OR-reduce sub-tiles up to the intersector's tile granularity.
+    group = ray_tile // at
+    t_tiles = r // ray_tile
+    return jnp.any(out.reshape(t_tiles, group, c) > 0, axis=1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret")
+)
+def closest_hit_chunks(
+    origin: jnp.ndarray,  # [R, 3], R % ray_tile == 0
+    direction: jnp.ndarray,  # [R, 3]
+    chunk_woop: jnp.ndarray,  # [C, 12, CHUNK_TRIS]
+    chunk_min: jnp.ndarray,  # [C, 3]
+    chunk_max: jnp.ndarray,  # [C, 3]
+    woop_cols: jnp.ndarray,  # [4, 3N] (winner barycentric recompute)
+    min_dst: float,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+) -> Hit:
+    r = origin.shape[0]
+    c = chunk_woop.shape[0]
+    assert r % ray_tile == 0, (r, ray_tile)
+    t_tiles = r // ray_tile
+
+    rays = jnp.concatenate(
+        [
+            origin,
+            jnp.ones((r, 1), origin.dtype),
+            direction,
+            jnp.zeros((r, 1), origin.dtype),
+        ],
+        axis=1,
+    )  # [R, 8]
+    aabb_rows = jnp.concatenate(
+        [chunk_min.T, chunk_max.T, jnp.zeros((2, c), chunk_min.dtype)], axis=0
+    )  # [8, C]
+    active = tile_chunk_activity(rays, aabb_rows, min_dst, ray_tile, interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the [T, C] activity mask lives in SMEM
+        grid=(t_tiles, c),
+        in_specs=[
+            pl.BlockSpec(
+                (ray_tile, 8), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 12, CHUNK_TRIS), lambda i, j, *_: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    t_best, tri = pl.pallas_call(
+        functools.partial(_kernel, min_dst=min_dst),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(active, rays, chunk_woop)
+
+    t_best = t_best[:, 0]
+    tri = tri[:, 0]
+    hit = jnp.isfinite(t_best)
+    # Winner barycentric recompute (same epilogue as the dense path).
+    tri_safe = jnp.where(hit, tri, 0)
+    cols = tri_safe[:, None] * 3 + jnp.arange(3)[None, :]
+    w = jnp.moveaxis(woop_cols[:, cols], 0, 1)  # [R, 4, 3]
+    o1 = rays[:, 0:4]
+    d0 = rays[:, 4:8]
+    p = jnp.einsum("rk,rkj->rj", o1, w, precision=_PRECISION)
+    q = jnp.einsum("rk,rkj->rj", d0, w, precision=_PRECISION)
+    t_r = -p[..., 2] / q[..., 2]
+    beta = p[..., 0] + t_r * q[..., 0]
+    gamma = p[..., 1] + t_r * q[..., 1]
+    return Hit(
+        t=jnp.where(hit, t_best, jnp.inf),
+        tri=tri_safe,
+        beta=jnp.where(hit, beta, 0.0),
+        gamma=jnp.where(hit, gamma, 0.0),
+        hit=hit,
+    )
+
+
+def ray_sort_key(
+    origin: jnp.ndarray,  # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    alive: jnp.ndarray,  # [R] bool
+    scene_lo: jnp.ndarray,  # [3]
+    scene_hi: jnp.ndarray,  # [3]
+) -> jnp.ndarray:  # [R] int32
+    """Coherence key for wavefront ray sorting: direction octant (3 bits) x
+    origin cell in an 8^3 grid over the scene bounds (9 bits).  Rays sorted
+    by this key land in tiles whose chunk-activity unions approach the
+    per-ray minimum; dead rays sort last so their tiles skip every chunk.
+    """
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
+    )
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
+    cell = jnp.clip(
+        ((origin - scene_lo) / ext * 8.0).astype(jnp.int32), 0, 7
+    )
+    cell_id = cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
+    key = octant * 512 + cell_id
+    return jnp.where(alive, key, jnp.int32(1 << 20))
+
+
+def build_chunk_woop(woop_cols: np.ndarray) -> np.ndarray:
+    """[4, 3N] -> [C, 12, CHUNK_TRIS] chunk blocks (row = 4*comp + coef)."""
+    four, n3 = woop_cols.shape
+    n = n3 // 3
+    pad = (-n) % CHUNK_TRIS
+    w = woop_cols.reshape(4, n, 3)
+    if pad:
+        w = np.concatenate([w, np.full((4, pad, 3), np.nan, w.dtype)], axis=1)
+        n += pad
+    c = n // CHUNK_TRIS
+    w = np.transpose(w, (2, 0, 1)).reshape(12, c, CHUNK_TRIS)
+    return np.ascontiguousarray(np.transpose(w, (1, 0, 2)).astype(np.float32))

@@ -76,6 +76,26 @@ def build_leaves(
     return vmin.astype(np.float32), vmax.astype(np.float32)
 
 
+def chunk_aabbs(
+    aabb_min: np.ndarray, aabb_max: np.ndarray, leaves_per_chunk: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Coarser AABBs over groups of consecutive leaves (the granularity at
+    which the Pallas intersector skips work)."""
+    l = aabb_min.shape[0]
+    pad = (-l) % leaves_per_chunk
+    if pad:
+        aabb_min = np.concatenate(
+            [aabb_min, np.full((pad, 3), np.inf, aabb_min.dtype)]
+        )
+        aabb_max = np.concatenate(
+            [aabb_max, np.full((pad, 3), -np.inf, aabb_max.dtype)]
+        )
+    c = aabb_min.shape[0] // leaves_per_chunk
+    cmin = aabb_min.reshape(c, leaves_per_chunk, 3).min(axis=1)
+    cmax = aabb_max.reshape(c, leaves_per_chunk, 3).max(axis=1)
+    return cmin, cmax
+
+
 def leaf_woop(woop_cols: np.ndarray, leaf_size: int = LEAF_SIZE) -> np.ndarray:
     """Re-layout the [4, 3N] Woop matrix into per-leaf blocks [L, 12, S].
 

@@ -471,6 +471,23 @@ def _pack_triangle_scene(
     woop_cols = build_woop(verts, valid)
     lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
     lw = leaf_woop(woop_cols, LEAF_SIZE)
+    from ..ops.pallas_intersect import CHUNK_TRIS, build_chunk_woop
+    from .accel import chunk_aabbs
+
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop_cols)
+
+    shade_attrs = np.zeros((cap, 48), dtype=np.float32)
+    shade_attrs[:, 0:9] = verts.reshape(cap, 9)
+    shade_attrs[:, 9:18] = normals.reshape(cap, 9)
+    shade_attrs[:, 18:24] = uvs.reshape(cap, 6)
+    shade_attrs[:, 24:33] = tangents.reshape(cap, 9)
+    shade_attrs[:, 33:37] = mats[:, 0:4]  # color rgba
+    shade_attrs[:, 37:40] = mats[:, 4:7]  # emission
+    shade_attrs[:, 40] = mats[:, 7]  # metallic
+    shade_attrs[:, 41] = mats[:, 8]  # roughness
+    shade_attrs[:, 42] = mats[:, 9]  # ior
+    shade_attrs[:, 43:47] = mats[:, 10:14]  # texture ids (exact in f32)
 
     return T.TriangleScene(
         verts=jnp.asarray(verts),
@@ -482,6 +499,10 @@ def _pack_triangle_scene(
         leaf_aabb_min=jnp.asarray(lmin),
         leaf_aabb_max=jnp.asarray(lmax),
         leaf_woop=jnp.asarray(lw),
+        chunk_aabb_min=jnp.asarray(cmin),
+        chunk_aabb_max=jnp.asarray(cmax),
+        chunk_woop=jnp.asarray(cw),
+        shade_attrs=jnp.asarray(shade_attrs),
         color=jnp.asarray(mats[:, 0:4].astype(np.float32)),
         emission=jnp.asarray(emission),
         metallic=jnp.asarray(mats[:, 7].astype(np.float32)),

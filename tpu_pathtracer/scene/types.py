@@ -159,6 +159,19 @@ class TriangleScene:
     leaf_aabb_max: jnp.ndarray  # [L, 3]
     leaf_woop: jnp.ndarray  # [L, 12, LEAF_SIZE] float32
 
+    # Chunk granularity for the Pallas intersector (ops/pallas_intersect.py):
+    # 128-triangle blocks with AABBs, streamed HBM->VMEM.
+    chunk_aabb_min: jnp.ndarray  # [C, 3]
+    chunk_aabb_max: jnp.ndarray  # [C, 3]
+    chunk_woop: jnp.ndarray  # [C, 12, 128]
+
+    # All shade-stage per-triangle attributes packed into one row so a hit
+    # costs ONE gather instead of ~10 (row gathers are the TPU's weak spot).
+    # Layout (float32): verts[9] normals[9] uvs[6] tangents[9] color[4]
+    # emission[3] metallic roughness ior color_tex emissive_tex mr_tex
+    # normal_tex | pad -> 48 columns.
+    shade_attrs: jnp.ndarray  # [N, 48]
+
     # Per-triangle material (flattened from the glTF material table)
     color: jnp.ndarray  # [N, 4] baseColorFactor RGBA
     emission: jnp.ndarray  # [N, 3] emissiveFactor * emissiveStrength
