@@ -13,6 +13,7 @@ changes.
 
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -21,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_pathtracer.utils.testscenes import (  # noqa: E402
     make_cornell_gltf,
+    make_env_image,
     make_textured_cornell_gltf,
 )
 
@@ -29,6 +31,31 @@ GOLDENS = [
     ("cornell_64x64", make_cornell_gltf, 64, 64, 4096),
     ("textured_64x64", make_textured_cornell_gltf, 64, 64, 4096),
 ]
+
+
+def _build(ref_src: str, out_binary: str, config_edits=None) -> None:
+    """Compile the reference; optionally with an edited config.h (the
+    reference's knobs are compile-time constants, src/config.h)."""
+    if not config_edits:
+        subprocess.check_call(
+            ["g++", "-O2", "-std=c++20", "-o", out_binary,
+             os.path.join(ref_src, "src", "main.cpp")]
+        )
+        return
+    src_copy = out_binary + "_src"
+    shutil.copytree(os.path.join(ref_src, "src"), os.path.join(src_copy, "src"))
+    cfg_path = os.path.join(src_copy, "src", "config.h")
+    with open(cfg_path) as f:
+        cfg = f.read()
+    for old, new in config_edits:
+        assert old in cfg, old
+        cfg = cfg.replace(old, new)
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    subprocess.check_call(
+        ["g++", "-O2", "-std=c++20", "-o", out_binary,
+         os.path.join(src_copy, "src", "main.cpp")]
+    )
 
 
 def main() -> int:
@@ -40,21 +67,34 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         binary = os.path.join(tmp, "raytracer")
-        subprocess.check_call(
-            [
-                "g++",
-                "-O2",
-                "-std=c++20",
-                "-o",
-                binary,
-                os.path.join(args.ref_src, "src", "main.cpp"),
-            ]
-        )
+        _build(args.ref_src, binary)
         for name, fixture, w, h, spp in GOLDENS:
             scene_path = fixture(os.path.join(tmp, name, name + ".gltf"))
             out_path = os.path.join(args.out, f"{name}_{spp}spp.ppm")
             subprocess.check_call([binary, scene_path, str(w), str(h), str(spp), out_path])
             print("wrote", out_path)
+
+        # Environment-map variant: the reference only honors env maps via
+        # compile-time constants (src/config.h:36-38), so rebuild with them
+        # set and render the Cornell box under a procedural sky.
+        env_png = make_env_image(os.path.join(tmp, "env.png"))
+        env_binary = os.path.join(tmp, "raytracer_env")
+        _build(
+            args.ref_src,
+            env_binary,
+            config_edits=[
+                ("constexpr bool USE_ENV_MAP = false;",
+                 "constexpr bool USE_ENV_MAP = true;"),
+                ('constexpr char ENV_MAP_PATH[] = "env.hdr";',
+                 f'constexpr char ENV_MAP_PATH[] = "{env_png}";'),
+            ],
+        )
+        scene_path = make_cornell_gltf(os.path.join(tmp, "envc", "envc.gltf"))
+        out_path = os.path.join(args.out, "cornell_env_64x64_4096spp.ppm")
+        subprocess.check_call(
+            [env_binary, scene_path, "64", "64", "4096", out_path]
+        )
+        print("wrote", out_path)
     return 0
 
 

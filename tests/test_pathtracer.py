@@ -50,6 +50,27 @@ def test_ray_depth_zero_returns_background(tmp_path):
     np.testing.assert_allclose(img, 1.0)  # white env background
 
 
+def test_env_map_golden(tmp_path):
+    """Environment-map path vs a reference build compiled with USE_ENV_MAP
+    (the reference's env knobs are compile-time; ours are runtime config)."""
+    from tpu_pathtracer.utils.testscenes import make_env_image
+
+    path = os.path.join(GOLDEN_DIR, "cornell_env_64x64_4096spp.ppm")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    ref = read_ppm(path).astype(np.float64)
+    env_png = make_env_image(str(tmp_path / "env.png"))
+    config = RenderConfig(use_env_map=True, env_map_path=env_png)
+    p = make_cornell_gltf(str(tmp_path / "scene.gltf"))
+    scene = parse_gltf_scene(p, 1.0, config)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(64, 64))
+    img = render(scene, spp=64, seed=0, config=config)
+    ours = np.asarray(quantize_u8(img), dtype=np.float64)
+    rmse = float(np.sqrt(((ours - ref) ** 2).mean()))
+    assert rmse < 14.0, f"env-map RMSE vs reference too high: {rmse}"
+    assert np.abs(ours.mean() - ref.mean()) < 3.0
+
+
 @pytest.mark.parametrize(
     "fixture,golden",
     [

@@ -60,7 +60,7 @@ def render_scene_file(
         )
         t_load = time.perf_counter() - t0
         t1 = time.perf_counter()
-        hdr = render(scene, spp=samples, seed=seed, config=config)
+        hdr = render(scene, spp=samples, seed=seed, config=config, progress=progress)
         depth = scene.ray_depth
     else:
         from .scene.homebrew import parse_homebrew_scene
@@ -139,7 +139,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         parent = os.path.dirname(out_path)
         if parent:
             os.makedirs(parent, exist_ok=True)  # create_directories, main.cpp:41
-        write_ppm(out_path, np.asarray(quantize_u8(hdr)))
+        pixels = np.asarray(quantize_u8(hdr))
+        if out_path.lower().endswith(".png"):
+            # Capability superset: the reference only writes P6 PPM.
+            from PIL import Image
+
+            Image.fromarray(pixels).save(out_path)
+        else:
+            write_ppm(out_path, pixels)
         print(metrics.to_json(), file=sys.stderr)
         return 0
     except (RuntimeError, OSError, ValueError) as err:

@@ -378,6 +378,7 @@ def render(
     spp: int,
     seed: int = 0,
     config: RenderConfig = None,
+    progress: bool = False,
 ):
     """Full-frame render -> host numpy [H, W, 3] float32 HDR radiance.
 
@@ -406,11 +407,19 @@ def render(
     # Dispatch every (chunk, pass) tile asynchronously and accumulate on
     # device; a single readback per chunk at the end.  Keeps the device busy
     # instead of paying a host round-trip per dispatch.
+    n_tiles = ((npix + chunk - 1) // chunk) * ((spp + pass_spp - 1) // pass_spp)
+    done_tiles = 0
     pending = []
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
         acc = None
         for s0 in range(0, spp, pass_spp):
+            if progress:
+                # Span-progress analog (src/raytracer.h:647).
+                import sys
+
+                print(f"{done_tiles}/{n_tiles}     \r", end="", file=sys.stderr)
+                done_tiles += 1
             todo = min(pass_spp, spp - s0)
             rad = render_chunk(
                 scene,

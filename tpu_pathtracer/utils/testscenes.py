@@ -229,6 +229,22 @@ def make_cornell_gltf(path: str, light_strength: float = 20.0) -> str:
     return b.write(path)
 
 
+def make_env_image(path: str) -> str:
+    """Deterministic equirect 'sky' image (horizontal hue bands + vertical
+    brightness gradient) for environment-map parity tests."""
+    from PIL import Image
+
+    h, w = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (255 * (0.2 + 0.8 * xx / (w - 1))).astype(np.uint8)
+    g = (255 * (1.0 - yy / (h - 1))).astype(np.uint8)
+    b = (255 * (0.3 + 0.7 * yy / (h - 1))).astype(np.uint8)
+    img = np.stack([r, g, b], axis=-1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(img).save(path)
+    return path
+
+
 def make_textured_cornell_gltf(path: str, light_strength: float = 20.0) -> str:
     """Cornell variant with a checkerboard baseColor texture on the floor and
     a gradient metallic-roughness texture on the back wall — exercises the
