@@ -95,6 +95,23 @@ def main() -> int:
             [env_binary, scene_path, "64", "64", "4096", out_path]
         )
         print("wrote", out_path)
+
+        # ADD_LIGHT_TRIANGLE variant (src/config.h:41-47, src/scene.h:479-498).
+        lt_binary = os.path.join(tmp, "raytracer_lt")
+        _build(
+            args.ref_src,
+            lt_binary,
+            config_edits=[
+                ("constexpr bool ADD_LIGHT_TRIANGLE = false;",
+                 "constexpr bool ADD_LIGHT_TRIANGLE = true;"),
+            ],
+        )
+        scene_path = make_cornell_gltf(os.path.join(tmp, "ltc", "ltc.gltf"))
+        out_path = os.path.join(args.out, "cornell_lt_64x64_4096spp.ppm")
+        subprocess.check_call(
+            [lt_binary, scene_path, "64", "64", "4096", out_path]
+        )
+        print("wrote", out_path)
     return 0
 
 

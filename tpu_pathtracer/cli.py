@@ -101,6 +101,12 @@ def setup_backend() -> None:
     platform = os.environ.get("TPU_PATHTRACER_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # Debug/observability hooks (SURVEY §5: the race-detector/NaN-check
+    # analog).  Note the reference's estimator *intentionally* produces NaNs
+    # that per-sample sanitization zeroes (src/raytracer.h:607-616), so
+    # jax_debug_nans is a kernel-debugging tool, not a default.
+    if os.environ.get("TPU_PATHTRACER_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
     if not os.environ.get("TPU_PATHTRACER_NO_CACHE"):
         cache_dir = os.environ.get(
             "TPU_PATHTRACER_CACHE_DIR",
@@ -130,7 +136,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         height = _strtol(argv[3])
         samples = _strtol(argv[4])
 
-        hdr, metrics = render_scene_file(argv[1], width, height, samples)
+        from .utils.profiling import device_trace
+
+        with device_trace(os.environ.get("TPU_PATHTRACER_TRACE_DIR")):
+            hdr, metrics = render_scene_file(argv[1], width, height, samples)
 
         from .utils.image import quantize_u8, write_ppm
         import numpy as np
