@@ -33,28 +33,30 @@ def main() -> int:
 
     setup_backend()
 
+    from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.scene.gltf import parse_gltf_scene
     from tpu_pathtracer.models.pathtracer import render
     from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
 
+    config = RenderConfig(rays_per_batch=1 << 14, spp_per_pass=8)
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
     path = make_sphere_field_gltf(
         os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3
     )
-    scene = parse_gltf_scene(path, WIDTH / HEIGHT)
+    scene = parse_gltf_scene(path, WIDTH / HEIGHT, config)
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(WIDTH, HEIGHT))
     n_tris = int(scene.valid.sum())
     print(f"bench scene: {n_tris} triangles, {WIDTH}x{HEIGHT} @ {SPP} spp",
           file=sys.stderr)
 
-    # Warm-up pass compiles every (chunk, spp) specialization.
+    # Warm-up: one spp pass compiles the exact shapes the timed run uses.
     t0 = time.perf_counter()
-    render(scene, spp=SPP, seed=0)
+    render(scene, spp=config.spp_per_pass, seed=0, config=config)
     warm = time.perf_counter() - t0
     print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    img = render(scene, spp=SPP, seed=1)
+    img = render(scene, spp=SPP, seed=1, config=config)
     dt = time.perf_counter() - t0
     assert img.shape == (HEIGHT, WIDTH, 3)
 

@@ -164,21 +164,30 @@ def hit_info(
     smooth = normalize(_interp(tri_normals, hit.beta, hit.gamma))
     smooth = where3(dot(g_normal, smooth) < 0, -smooth, smooth)
 
-    uv = _interp(tri_uvs, hit.beta, hit.gamma)  # tex_coord_at
-
-    tangent = normalize(_interp(tri_tangents, hit.beta, hit.gamma))
-    bitangent = cross(smooth, tangent)
-    use_tex = config.use_textures
-    normal_loc = texture.sample_normal(scene.atlas, normal_tex, uv, use_tex)
-    shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
-
-    color = base_color * texture.sample(scene.atlas, color_tex, uv, 2.2, use_tex)
-    emission = base_emission * texture.sample(
-        scene.atlas, emissive_tex, uv, 2.2, use_tex
-    )[:, :3]
-    mr = texture.sample(scene.atlas, mr_tex, uv, 1.0, use_tex)
-    metallic = base_metallic * mr[:, 2]  # B channel (src/geometry.h:625)
-    roughness = base_roughness * mr[:, 1]  # G channel
+    # Static fast path: an atlas holding only the two builtin 1x1 textures
+    # (white + flat normal) means every lookup is the identity — skip the
+    # 16 row-gathers of bilinear fetching entirely.  Exactly equivalent to
+    # sampling WHITE_TEXTURE/NORMAL_UP (src/geometry.h:601-602).
+    has_textures = scene.atlas.offset.shape[0] > 2 and config.use_textures
+    if has_textures:
+        uv = _interp(tri_uvs, hit.beta, hit.gamma)  # tex_coord_at
+        tangent = normalize(_interp(tri_tangents, hit.beta, hit.gamma))
+        bitangent = cross(smooth, tangent)
+        normal_loc = texture.sample_normal(scene.atlas, normal_tex, uv, True)
+        shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
+        color = base_color * texture.sample(scene.atlas, color_tex, uv, 2.2, True)
+        emission = base_emission * texture.sample(
+            scene.atlas, emissive_tex, uv, 2.2, True
+        )[:, :3]
+        mr = texture.sample(scene.atlas, mr_tex, uv, 1.0, True)
+        metallic = base_metallic * mr[:, 2]  # B channel (src/geometry.h:625)
+        roughness = base_roughness * mr[:, 1]  # G channel
+    else:
+        shading = smooth
+        color = base_color
+        emission = base_emission
+        metallic = base_metallic
+        roughness = base_roughness
 
     flip = inside[:, None]
     return dict(
@@ -231,9 +240,14 @@ def trace(
 
         hit = scene_closest_hit(scene, o, d, eps)
 
-        env = texture.env_radiance(
-            scene.atlas, scene.env_tex, scene.bg_color, d, config.use_textures
-        )
+        if scene.atlas.offset.shape[0] > 2 and config.use_textures:
+            env = texture.env_radiance(
+                scene.atlas, scene.env_tex, scene.bg_color, d, True
+            )
+        else:
+            # No env texture in the atlas: bg_at degenerates to bg_color
+            # (white 1x1 sample — src/scene.h:83-89 with WHITE_TEXTURE).
+            env = jnp.broadcast_to(scene.bg_color, d.shape)
         miss = alive & ~hit.hit
         radiance = radiance + jnp.where(miss[:, None], throughput * env, 0.0)
 

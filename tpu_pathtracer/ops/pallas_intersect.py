@@ -49,7 +49,12 @@ def _kernel(active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst):
         tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
         tidx_ref[:] = jnp.zeros_like(tidx_ref)
 
-    @pl.when(active_ref[i, j] > 0)
+    # Activity is bit-packed 32 chunks per int32 so the SMEM-resident mask
+    # stays tiny even for Sponza-class chunk counts.
+    word = active_ref[i, j // 32]
+    bit = (word >> (j % 32)) & 1
+
+    @pl.when(bit > 0)
     def _body():
         rays = rays_ref[:]  # [RT, 8] = (o, 1, d, 0)
         w = wc_ref[0]  # [12, CHUNK_TRIS]
@@ -128,10 +133,19 @@ def tile_chunk_activity(
         out_shape=jax.ShapeDtypeStruct((sub, c), jnp.int32),
         interpret=interpret,
     )(rays, aabb_rows)
-    # OR-reduce sub-tiles up to the intersector's tile granularity.
+    # OR-reduce sub-tiles up to the intersector's tile granularity, then
+    # bit-pack 32 chunks per int32 word for the SMEM-resident kernel mask.
     group = ray_tile // at
     t_tiles = r // ray_tile
-    return jnp.any(out.reshape(t_tiles, group, c) > 0, axis=1).astype(jnp.int32)
+    act = jnp.any(out.reshape(t_tiles, group, c) > 0, axis=1)
+    pad = (-c) % 32
+    if pad:
+        act = jnp.concatenate(
+            [act, jnp.zeros((t_tiles, pad), act.dtype)], axis=1
+        )
+    bits = act.astype(jnp.int32).reshape(t_tiles, -1, 32)
+    weights = (1 << jnp.arange(32, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)  # [T, C/32]
 
 
 @functools.partial(
