@@ -1,0 +1,123 @@
+"""Texture atlas sampling vs a float64 oracle of Texture::sample
+(src/geometry.h:517-631)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_pathtracer.scene.types import TextureAtlas
+from tpu_pathtracer.ops import texture
+
+
+def _oracle_sample(data, w, h, xy, gamma):
+    """Trusted port of src/geometry.h:545-575 (single texel grid, f64)."""
+    if w * h == 1:
+        return data[0].copy()  # no gamma on 1x1 (src/geometry.h:548-550)
+
+    def wrap(x):
+        return np.fmod(np.fmod(x, 1.0) + 1.0, 1.0)
+
+    def g(c):
+        out = c.copy()
+        out[:3] = out[:3] ** gamma
+        return out
+
+    tx = wrap(xy[0]) * w
+    ty = wrap(xy[1]) * h
+    px, py = int(tx), int(ty)
+    dx, dy = tx - px, ty - py
+    px1 = 0 if px == w - 1 else px + 1
+    py1 = 0 if py == h - 1 else py + 1
+    p00 = g(data[px + py * w])
+    p01 = g(data[px + py1 * w])
+    p10 = g(data[px1 + py * w])
+    p11 = g(data[px1 + py1 * w])
+    return (1 - dx) * ((1 - dy) * p00 + dy * p01) + dx * ((1 - dy) * p10 + dy * p11)
+
+
+def _atlas_with(img_flat, w, h):
+    builtin = np.array([[1, 1, 1, 1], [0.5, 0.5, 1, 0]], dtype=np.float32)
+    texels = np.concatenate([builtin, img_flat.astype(np.float32)], axis=0)
+    return TextureAtlas(
+        texels=jnp.asarray(texels),
+        offset=jnp.asarray([0, 1, 2], jnp.int32),
+        width=jnp.asarray([1, 1, w], jnp.int32),
+        height=jnp.asarray([1, 1, h], jnp.int32),
+    )
+
+
+def test_bilinear_gamma_wrap_matches_oracle():
+    rng = np.random.default_rng(0)
+    w, h = 7, 5  # odd sizes exercise the wrap paths
+    data = rng.uniform(0, 1, size=(w * h, 4))
+    atlas = _atlas_with(data, w, h)
+    uvs = np.array(
+        [
+            [0.1, 0.2],
+            [0.999, 0.999],
+            [-0.3, 1.7],  # negative + >1 wrap
+            [0.0, 0.0],
+            [0.5, -2.25],
+            [13.37, -4.2],
+        ]
+    )
+    for gamma in (1.0, 2.2):
+        got = np.asarray(
+            texture.sample(
+                atlas,
+                jnp.full((len(uvs),), 2, jnp.int32),
+                jnp.asarray(uvs, jnp.float32),
+                gamma,
+            )
+        )
+        want = np.stack([_oracle_sample(data, w, h, uv, gamma) for uv in uvs])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_single_texel_skips_gamma():
+    """1x1 textures return the raw texel with NO gamma (src/geometry.h:548)."""
+    data = np.array([[0.25, 0.5, 0.75, 1.0]])
+    builtin = np.array([[1, 1, 1, 1], [0.5, 0.5, 1, 0]], dtype=np.float32)
+    texels = np.concatenate([builtin, data.astype(np.float32)])
+    atlas = TextureAtlas(
+        texels=jnp.asarray(texels),
+        offset=jnp.asarray([0, 1, 2], jnp.int32),
+        width=jnp.asarray([1, 1, 1], jnp.int32),
+        height=jnp.asarray([1, 1, 1], jnp.int32),
+    )
+    got = np.asarray(
+        texture.sample(atlas, jnp.asarray([2]), jnp.asarray([[0.4, 0.6]]), 2.2)
+    )
+    np.testing.assert_allclose(got[0], data[0], rtol=1e-6)
+
+
+def test_sample_normal_decode():
+    got = np.asarray(
+        texture.sample_normal(
+            TextureAtlas.builtin(), jnp.asarray([1]), jnp.asarray([[0.0, 0.0]])
+        )
+    )
+    np.testing.assert_allclose(got[0], [0, 0, 1], atol=1e-6)
+
+
+def test_env_equirect_mapping():
+    """bg_at's atan2/asin mapping (src/scene.h:83-89): +x axis maps to the
+    center column, up maps to v=0."""
+    rng = np.random.default_rng(1)
+    w, h = 16, 8
+    data = rng.uniform(0, 1, size=(w * h, 4))
+    atlas = _atlas_with(data, w, h)
+    dirs = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32)
+    got = np.asarray(
+        texture.env_radiance(
+            atlas, jnp.asarray(2, jnp.int32), jnp.ones(3, jnp.float32),
+            jnp.asarray(dirs),
+        )
+    )
+
+    def oracle(d):
+        u = 0.5 + 0.5 * np.arctan2(d[2], d[0]) / np.pi
+        v = 0.5 - np.arcsin(d[1]) / np.pi
+        return _oracle_sample(data, w, h, (u, v), 2.2)[:3]
+
+    want = np.stack([oracle(d) for d in dirs])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
