@@ -38,7 +38,7 @@ def main() -> int:
     from tpu_pathtracer.models.pathtracer import render
     from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
 
-    config = RenderConfig(rays_per_batch=1 << 14, spp_per_pass=8)
+    config = RenderConfig(rays_per_batch=1 << 14, spp_per_pass=4)
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
     path = make_sphere_field_gltf(
         os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3

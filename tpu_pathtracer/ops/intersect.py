@@ -49,7 +49,19 @@ def tri_capacity(n: int) -> int:
 
 def build_woop(verts: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Host-side precompute of the [4, 3N] intersection matrix (float64 solve,
-    float32 storage).  Degenerate or padding triangles get NaN rows."""
+    float32 storage).  Degenerate or padding triangles get NaN rows.
+
+    Prefers the native C++ packer (native/accel_pack.cpp, adjugate inverse);
+    this numpy path (LAPACK inverse) is the fallback and the test oracle —
+    they agree to float32 rounding."""
+    import os
+
+    if not os.environ.get("TPU_PATHTRACER_NO_NATIVE"):
+        from ..scene import native
+
+        out = native.build_woop(verts, valid)
+        if out is not None:
+            return out
     v = np.asarray(verts, dtype=np.float64)
     n = v.shape[0]
     a, b, c = v[:, 0], v[:, 1], v[:, 2]

@@ -26,9 +26,23 @@ import numpy as np
 LEAF_SIZE = 16
 
 
+def _use_native() -> bool:
+    import os
+
+    return not os.environ.get("TPU_PATHTRACER_NO_NATIVE")
+
+
 def morton_order(verts: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Permutation sorting valid triangles along a 3D Morton curve (invalid
-    rows go last).  verts: [N, 3, 3]."""
+    rows go last).  verts: [N, 3, 3].  Uses the native C++ packer when
+    available (native/accel_pack.cpp), numpy otherwise — both orderings are
+    identical (tested)."""
+    if _use_native():
+        from . import native
+
+        perm = native.morton_argsort(verts, valid)
+        if perm is not None:
+            return perm
     n = verts.shape[0]
     centroid = verts.mean(axis=1)
     c = centroid[valid]
@@ -62,6 +76,12 @@ def build_leaves(
     padding triangles get inverted (never-hit) boxes.  Assumes the caller has
     already applied morton_order to verts/valid and that len % leaf_size == 0.
     """
+    if _use_native():
+        from . import native
+
+        out = native.build_leaf_aabbs(verts, valid, leaf_size)
+        if out is not None:
+            return out
     n = verts.shape[0]
     assert n % leaf_size == 0
     l = n // leaf_size
