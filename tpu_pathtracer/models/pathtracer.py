@@ -341,8 +341,18 @@ def trace(
         jnp.isfinite(origin[:, 0]),  # alive = True
         pixel_ids,
     )
+    def bounce_or_skip(carry, bounce_idx):
+        # Whole-wavefront early exit: once every ray is dead the remaining
+        # depth iterations are identity (dead rays never contribute again).
+        return jax.lax.cond(
+            jnp.any(carry[4]),
+            lambda c: bounce(c, bounce_idx)[0],
+            lambda c: c,
+            carry,
+        ), None
+
     (o, d, throughput, radiance, alive, pids), _ = jax.lax.scan(
-        bounce, init, jnp.arange(scene.ray_depth)
+        bounce_or_skip, init, jnp.arange(scene.ray_depth)
     )
     # Depth exhaustion: the reference's deepest call returns {0,0,0}, which a
     # NaN throughput chain turns into NaN (src/raytracer.h:596-598).
