@@ -247,17 +247,21 @@ def ray_sort_key(
     by this key land in tiles whose chunk-activity unions approach the
     per-ray minimum; dead rays sort last so their tiles skip every chunk.
     """
-    octant = (
-        (direction[:, 0] > 0).astype(jnp.int32) * 4
-        + (direction[:, 1] > 0).astype(jnp.int32) * 2
-        + (direction[:, 2] > 0).astype(jnp.int32)
+    # 2 bits per direction axis (64 bins: octant + per-axis magnitude).
+    def dbits(x):
+        return (x > 0).astype(jnp.int32) * 2 + (jnp.abs(x) > 0.55).astype(
+            jnp.int32
+        )
+
+    dir_bin = dbits(direction[:, 0]) * 16 + dbits(direction[:, 1]) * 4 + dbits(
+        direction[:, 2]
     )
     ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
     cell = jnp.clip(
         ((origin - scene_lo) / ext * 8.0).astype(jnp.int32), 0, 7
     )
     cell_id = cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
-    key = octant * 512 + cell_id
+    key = dir_bin * 512 + cell_id
     return jnp.where(alive, key, jnp.int32(1 << 20))
 
 
