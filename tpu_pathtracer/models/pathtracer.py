@@ -422,6 +422,12 @@ def render(
         ).copy()
 
     chunk = min(config.rays_per_batch, npix)
+    # Round chunks up to the Pallas ray-tile so large scenes keep the fast
+    # intersector even for small frames (padding pixels render and are
+    # discarded).
+    from ..ops.pallas_intersect import RAY_TILE
+
+    chunk += (-chunk) % RAY_TILE
     base = jax.random.key(seed)
     out = np.zeros((npix, 3), dtype=np.float32)
     # Work is dispatched in (pixel-chunk, spp-pass) tiles: bounded device
