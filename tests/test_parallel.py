@@ -42,3 +42,16 @@ def test_sharded_uses_all_devices(scene):
     img = render_sharded(scene, spp=8, seed=0, mesh=mesh)
     assert np.isfinite(img).all()
     assert img.shape == (16, 16, 3)
+
+
+def test_multihost_single_process(scene):
+    """With one process render_multihost degrades to the sharded render."""
+    from tpu_pathtracer.parallel.multihost import (
+        maybe_initialize_distributed,
+        render_multihost,
+    )
+
+    assert maybe_initialize_distributed() is False
+    img = render_multihost(scene, spp=8, seed=3)
+    want = render(scene, spp=8, seed=3)
+    np.testing.assert_allclose(img, want, rtol=0, atol=1e-5)

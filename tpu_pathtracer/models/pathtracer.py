@@ -397,6 +397,16 @@ def render_chunk(
     return acc / spp
 
 
+def pick_chunk(config: RenderConfig, npix: int) -> int:
+    """Pixel-chunk size: bounded by config, rounded up to the Pallas
+    ray-tile so large scenes keep the fast intersector even for small frames
+    (padding pixels render and are discarded)."""
+    from ..ops.pallas_intersect import RAY_TILE
+
+    chunk = min(config.rays_per_batch, npix)
+    return chunk + ((-chunk) % RAY_TILE)
+
+
 def render(
     scene: TriangleScene,
     spp: int,
@@ -421,13 +431,7 @@ def render(
             np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
         ).copy()
 
-    chunk = min(config.rays_per_batch, npix)
-    # Round chunks up to the Pallas ray-tile so large scenes keep the fast
-    # intersector even for small frames (padding pixels render and are
-    # discarded).
-    from ..ops.pallas_intersect import RAY_TILE
-
-    chunk += (-chunk) % RAY_TILE
+    chunk = pick_chunk(config, npix)
     base = jax.random.key(seed)
     out = np.zeros((npix, 3), dtype=np.float32)
     # Work is dispatched in (pixel-chunk, spp-pass) tiles: bounded device

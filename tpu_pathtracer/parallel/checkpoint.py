@@ -115,8 +115,10 @@ def render_with_checkpoints(
             seed=seed,
         )
 
+    from ..models.pathtracer import pick_chunk
+
     base = jax.random.key(seed)
-    chunk = min(config.rays_per_batch, npix)
+    chunk = pick_chunk(config, npix)
     pass_spp = checkpoint_every or config.spp_per_pass
 
     while state.samples_done < spp:

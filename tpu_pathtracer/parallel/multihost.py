@@ -64,12 +64,12 @@ def render_multihost(
 
     # Local chips render this host's sample slice.  sample_start offsets the
     # counter stream so slices are disjoint by construction.
-    from ..models.pathtracer import render_chunk
+    from ..models.pathtracer import pick_chunk, render_chunk
     import jax.numpy as jnp
 
     cam = scene.camera
     npix = cam.height * cam.width
-    chunk = min(config.rays_per_batch, npix)
+    chunk = pick_chunk(config, npix)
     base = jax.random.key(seed)
     local = np.zeros((npix, 3), dtype=np.float32)
     for start in range(0, npix, chunk):
