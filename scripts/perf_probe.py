@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""TPU performance probe: kernel/tile sweeps + full-render timings.
+
+Run on the real chip after changes to the intersector or wavefront loop.
+Prints one JSON line per measurement (collect with `... | grep '^{'`).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from tpu_pathtracer.cli import setup_backend
+
+    setup_backend()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.pathtracer import (
+        gen_rays,
+        per_pixel_uniforms,
+        render,
+        render_chunk,
+    )
+    from tpu_pathtracer.ops.pallas_intersect import closest_hit_chunks
+    from tpu_pathtracer.scene.gltf import parse_gltf_scene
+    from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
+
+    def emit(**kw):
+        print(json.dumps(kw), flush=True)
+
+    path = make_sphere_field_gltf("/tmp/perf_probe/field.gltf", n_spheres=64, subdiv=3)
+    scene = parse_gltf_scene(path, 1.0)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(512, 512))
+    emit(event="scene", tris=int(scene.valid.sum()), chunks=int(scene.chunk_woop.shape[0]))
+
+    # --- kernel tile sweep on primary + incoherent rays --------------------
+    r = 16384
+    pix = jnp.arange(r) + 300 * 512
+    offs = per_pixel_uniforms(jax.random.key(0), pix, 2)
+    o, d = gen_rays(scene.camera, pix, offs)
+    rng = np.random.default_rng(1)
+    d2 = rng.normal(size=(r, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    o2 = np.asarray(o) + rng.uniform(0, 5, size=(r, 1)).astype(np.float32) * np.asarray(d)
+    cases = {"primary": (o, d), "incoherent": (jnp.asarray(o2), jnp.asarray(d2))}
+
+    for tile in (256, 512, 1024):
+        for name, (oo, dd) in cases.items():
+            f = jax.jit(
+                lambda oo, dd, tile=tile: closest_hit_chunks(
+                    oo, dd, scene.chunk_woop, scene.chunk_aabb_min,
+                    scene.chunk_aabb_max, scene.woop, 1e-4, ray_tile=tile,
+                )
+            )
+            h = f(oo, dd)
+            jax.block_until_ready(h)
+            t0 = time.time()
+            for _ in range(8):
+                h = f(oo, dd)
+            jax.block_until_ready(h)
+            emit(
+                event="kernel", ray_tile=tile, rays=name,
+                ms=round((time.time() - t0) / 8 * 1000, 2),
+                hits=int(h.hit.sum()),
+            )
+
+    # --- full render sweep --------------------------------------------------
+    for rays, pp in ((16384, 4), (16384, 16)):
+        cfg = RenderConfig(rays_per_batch=rays, spp_per_pass=pp)
+        t0 = time.time()
+        render(scene, spp=pp, seed=0, config=cfg)
+        emit(event="compile", rays=rays, pass_spp=pp, s=round(time.time() - t0, 1))
+        t0 = time.time()
+        render(scene, spp=32, seed=1, config=cfg)
+        dt = time.time() - t0
+        emit(
+            event="render", rays=rays, pass_spp=pp, s=round(dt, 2),
+            samples_per_s=int(512 * 512 * 32 / dt),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
