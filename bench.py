@@ -28,8 +28,34 @@ SPP = 32
 BASELINE_MRAYS = 2.8  # top of the reference's derived range (BASELINE.md)
 
 
+def _tpu_alive(timeout_s: int = 300) -> bool:
+    """Probe TPU availability in a subprocess (a wedged tunnel hangs the
+    whole process; a bench that never prints is worse than a CPU number)."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.arange(3.).sum()))"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return p.returncode == 0 and "3.0" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     from tpu_pathtracer.cli import setup_backend
+
+    global WIDTH, HEIGHT, SPP
+    if not os.environ.get("TPU_PATHTRACER_PLATFORM") and not _tpu_alive():
+        print("TPU unavailable; falling back to CPU at reduced size",
+              file=sys.stderr)
+        os.environ["TPU_PATHTRACER_PLATFORM"] = "cpu"
+    if os.environ.get("TPU_PATHTRACER_PLATFORM") == "cpu":
+        # Keep the CPU fallback under ~3 minutes on one core; the number is
+        # a liveness signal, not a performance claim (metric says "cpu").
+        WIDTH, HEIGHT, SPP = 96, 96, 2
 
     setup_backend()
 
@@ -66,10 +92,15 @@ def main() -> int:
         f"render: {dt:.2f}s, {WIDTH*HEIGHT*SPP/dt:.0f} pixel-samples/s",
         file=sys.stderr,
     )
+    backend = os.environ.get("TPU_PATHTRACER_PLATFORM") or "tpu"
     print(
         json.dumps(
             {
-                "metric": "synthetic-sponza-82k-tris Mrays/s (512x512@32spp, depth 8)",
+                "metric": (
+                    f"synthetic-sponza-{n_tris//1000}k-tris Mrays/s "
+                    f"({WIDTH}x{HEIGHT}@{SPP}spp, depth {scene.ray_depth}, "
+                    f"{backend})"
+                ),
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
