@@ -30,6 +30,9 @@ GOLDENS = [
     # (name, fixture fn, width, height, spp)
     ("cornell_64x64", make_cornell_gltf, 64, 64, 4096),
     ("textured_64x64", make_textured_cornell_gltf, 64, 64, 4096),
+    # Non-square: exercises the fov_y/aspect derivation (src/scene.h:69-71,
+    # :238-254) end to end.
+    ("cornell_96x64", make_cornell_gltf, 96, 64, 4096),
 ]
 
 

@@ -89,6 +89,20 @@ def test_light_triangle_golden(tmp_path):
     assert np.abs(ours.mean() - ref.mean()) < 3.0
 
 
+def test_nonsquare_aspect_golden(tmp_path):
+    """96x64 render vs reference: pins the fov_y/aspect derivation."""
+    path = os.path.join(GOLDEN_DIR, "cornell_96x64_4096spp.ppm")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    ref = read_ppm(path).astype(np.float64)
+    scene = _load(make_cornell_gltf, tmp_path, 96, 64)
+    img = render(scene, spp=64, seed=0)
+    ours = np.asarray(quantize_u8(img), dtype=np.float64)
+    rmse = float(np.sqrt(((ours - ref) ** 2).mean()))
+    assert rmse < 14.0, f"non-square RMSE too high: {rmse}"
+    assert np.abs(ours.mean() - ref.mean()) < 3.0
+
+
 @pytest.mark.parametrize(
     "fixture,golden",
     [

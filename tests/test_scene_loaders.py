@@ -129,3 +129,32 @@ def test_homebrew_practice5_is_mc():
     # has an emissive triangle
     em = np.asarray(scene.emission)[np.asarray(scene.valid)]
     assert (em.sum(axis=-1) > 0).any()
+
+
+def test_u32_indices(tmp_path):
+    b = GltfBuilder()
+    m = b.add_material((1, 1, 1, 1))
+    n = 70000  # > 65535 forces componentType 5125 (u32)
+    pos = np.zeros((n, 3), dtype=np.float32)
+    pos[-3:] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    idx = np.array([n - 3, n - 2, n - 1], dtype=np.int64)
+    b.add_mesh(pos, idx, material=m)
+    assert b.accessors[-1]["componentType"] == 5125
+    p = b.write(str(tmp_path / "u32.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    assert int(scene.valid.sum()) == 1
+    v = np.asarray(scene.verts)[np.asarray(scene.valid)][0]
+    np.testing.assert_allclose(sorted(v[:, 0]), [0, 0, 1])
+
+
+def test_non_indexed_triangles(tmp_path):
+    b = GltfBuilder()
+    m = b.add_material((1, 1, 1, 1))
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [2, 0, 0], [3, 0, 0], [2, 1, 0]],
+        dtype=np.float32,
+    )
+    b.add_mesh(pos, None, material=m)  # mode 4, no indices -> 2 triangles
+    p = b.write(str(tmp_path / "ni.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    assert int(scene.valid.sum()) == 2
