@@ -33,6 +33,9 @@ GOLDENS = [
     # Non-square: exercises the fov_y/aspect derivation (src/scene.h:69-71,
     # :238-254) end to end.
     ("cornell_96x64", make_cornell_gltf, 96, 64, 4096),
+    # Low-spp render for the estimator-VARIANCE parity test: the reference's
+    # noise level at 16 spp is the yardstick our noise must match.
+    ("cornell_64x64", make_cornell_gltf, 64, 64, 16),
 ]
 
 

@@ -89,6 +89,26 @@ def test_light_triangle_golden(tmp_path):
     assert np.abs(ours.mean() - ref.mean()) < 3.0
 
 
+def test_estimator_variance_parity(tmp_path):
+    """The estimator's NOISE must match the reference's, not just its mean:
+    compare MSE-to-converged of our 16-spp render vs the reference's own
+    16-spp render (both against the 4096-spp golden).  A wrong pdf or MIS
+    weight inflates variance even when the mean stays right."""
+    lo = os.path.join(GOLDEN_DIR, "cornell_64x64_16spp.ppm")
+    hi = os.path.join(GOLDEN_DIR, "cornell_64x64_4096spp.ppm")
+    if not (os.path.exists(lo) and os.path.exists(hi)):
+        pytest.skip("goldens not generated")
+    ref16 = read_ppm(lo).astype(np.float64)
+    ref = read_ppm(hi).astype(np.float64)
+    scene = _load(make_cornell_gltf, tmp_path, 64, 64)
+    img = render(scene, spp=16, seed=0)
+    ours16 = np.asarray(quantize_u8(img), dtype=np.float64)
+    mse_ref = ((ref16 - ref) ** 2).mean()
+    mse_ours = ((ours16 - ref) ** 2).mean()
+    ratio = mse_ours / mse_ref
+    assert 0.7 < ratio < 1.4, f"variance ratio vs reference: {ratio:.3f}"
+
+
 def test_nonsquare_aspect_golden(tmp_path):
     """96x64 render vs reference: pins the fov_y/aspect derivation."""
     path = os.path.join(GOLDEN_DIR, "cornell_96x64_4096spp.ppm")
