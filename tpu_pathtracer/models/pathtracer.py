@@ -430,6 +430,7 @@ def render(
         return np.broadcast_to(
             np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
         ).copy()
+    spp = max(int(spp), 1)  # samples=0 is 0/0 UB in the reference; clamp
 
     chunk = pick_chunk(config, npix)
     base = jax.random.key(seed)
