@@ -76,15 +76,29 @@ def main() -> int:
           file=sys.stderr)
 
     # Warm-up: one spp pass compiles the exact shapes the timed run uses.
-    t0 = time.perf_counter()
-    render(scene, spp=config.spp_per_pass, seed=0, config=config)
-    warm = time.perf_counter() - t0
-    print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
+    try:
+        t0 = time.perf_counter()
+        render(scene, spp=config.spp_per_pass, seed=0, config=config)
+        warm = time.perf_counter() - t0
+        print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    img = render(scene, spp=SPP, seed=1, config=config)
-    dt = time.perf_counter() - t0
-    assert img.shape == (HEIGHT, WIDTH, 3)
+        t0 = time.perf_counter()
+        img = render(scene, spp=SPP, seed=1, config=config)
+        dt = time.perf_counter() - t0
+        assert img.shape == (HEIGHT, WIDTH, 3)
+    except Exception as err:  # noqa: BLE001 — always emit the metric line
+        print(f"bench render failed: {err}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "synthetic-sponza Mrays/s (RENDER FAILED)",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return 1
 
     rays = WIDTH * HEIGHT * SPP * scene.ray_depth
     mrays = rays / dt / 1e6
