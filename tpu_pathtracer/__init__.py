@@ -12,4 +12,18 @@ from .config import RenderConfig, DEFAULT_CONFIG
 
 __version__ = "0.1.0"
 
-__all__ = ["RenderConfig", "DEFAULT_CONFIG"]
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import tpu_pathtracer` free of jax init).
+    if name == "Renderer":
+        from .renderer import Renderer
+
+        return Renderer
+    if name == "render_scene_file":
+        from .cli import render_scene_file
+
+        return render_scene_file
+    raise AttributeError(name)
+
+
+__all__ = ["RenderConfig", "DEFAULT_CONFIG", "Renderer", "render_scene_file"]
