@@ -28,27 +28,12 @@ SPP = 32
 BASELINE_MRAYS = 2.8  # top of the reference's derived range (BASELINE.md)
 
 
-def _tpu_alive(timeout_s: int = 300) -> bool:
-    """Probe TPU availability in a subprocess (a wedged tunnel hangs the
-    whole process; a bench that never prints is worse than a CPU number)."""
-    import subprocess
-
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.arange(3.).sum()))"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        return p.returncode == 0 and "3.0" in p.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main() -> int:
     from tpu_pathtracer.cli import setup_backend
+    from tpu_pathtracer.utils.backend import tpu_alive
 
     global WIDTH, HEIGHT, SPP
-    if not os.environ.get("TPU_PATHTRACER_PLATFORM") and not _tpu_alive():
+    if not os.environ.get("TPU_PATHTRACER_PLATFORM") and not tpu_alive():
         print("TPU unavailable; falling back to CPU at reduced size",
               file=sys.stderr)
         os.environ["TPU_PATHTRACER_PLATFORM"] = "cpu"

@@ -1,0 +1,38 @@
+"""Backend liveness helpers for the tunnel-backed TPU in this environment.
+
+A wedged axon relay makes ANY jax backend-init call hang (not raise), so
+anything that must not hang — the bench, the driver entry points — probes in
+a subprocess first and falls back to CPU.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def tpu_alive(timeout_s: int = 300) -> bool:
+    """True if default-backend init + a trivial op completes in a subprocess."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.arange(3.).sum()))"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return p.returncode == 0 and "3.0" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def ensure_live_backend(timeout_s: int = 240) -> None:
+    """Force the CPU platform when the default (tunnel) backend is dead.
+
+    No-op when a platform override is already set or the backend is healthy.
+    """
+    if os.environ.get("TPU_PATHTRACER_PLATFORM"):
+        return
+    if not tpu_alive(timeout_s):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
