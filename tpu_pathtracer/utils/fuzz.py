@@ -18,9 +18,21 @@ import numpy as np
 from .testscenes import GltfBuilder, quad
 
 
-def make_fuzz_gltf(path: str, seed: int) -> str:
+def make_fuzz_gltf(path: str, seed: int, textures: bool = True) -> str:
+    from PIL import Image
+
     rng = np.random.default_rng(seed)
     b = GltfBuilder()
+
+    tex_ids = []
+    if textures:
+        d = os.path.dirname(path) or "."
+        os.makedirs(d, exist_ok=True)
+        for t in range(2):
+            img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            name = f"fuzz{seed}_tex{t}.png"
+            Image.fromarray(img).save(os.path.join(d, name))
+            tex_ids.append(b.add_texture(name))
 
     def rand_material():
         emissive = None
@@ -30,12 +42,20 @@ def make_fuzz_gltf(path: str, seed: int) -> str:
             if rng.random() < 0.5:
                 strength = float(rng.uniform(1, 20))
         alpha = 1.0 if rng.random() < 0.7 else float(rng.uniform(0.2, 1.0))
+        base_tex = None
+        mr_tex = None
+        if tex_ids and rng.random() < 0.5:
+            base_tex = int(rng.choice(tex_ids))
+        if tex_ids and rng.random() < 0.3:
+            mr_tex = int(rng.choice(tex_ids))
         return b.add_material(
             (*rng.uniform(0.05, 0.95, 3).tolist(), alpha),
             metallic=float(rng.choice([0.0, 1.0, rng.uniform(0, 1)])),
             roughness=float(rng.uniform(0.02, 1.0)),
             emissive=emissive,
             emissive_strength=strength,
+            base_color_texture=base_tex,
+            metallic_roughness_texture=mr_tex,
         )
 
     def rand_quat():
@@ -88,11 +108,18 @@ def make_fuzz_gltf(path: str, seed: int) -> str:
     for _ in range(n_objects):
         mat = rand_material()
         kind = rng.random()
-        if kind < 0.4:  # random quad
+        if kind < 0.4:  # random quad (with UVs so textures get exercised)
             p = rng.uniform(-2, 2, (4, 3)).astype(np.float32)
             p[2] = p[1] + (p[3] - p[0])  # keep it planar-ish
             idx = np.array([0, 1, 2, 0, 2, 3])
-            b.add_mesh(p, idx, material=mat, node_transform=rand_transform())
+            uv_scale = float(rng.uniform(0.5, 3.0))
+            uvs = (
+                np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+                * uv_scale
+            )
+            b.add_mesh(
+                p, idx, material=mat, uvs=uvs, node_transform=rand_transform()
+            )
         elif kind < 0.7:  # box via 12 tris
             s = rng.uniform(0.2, 0.9, 3)
             verts = []
