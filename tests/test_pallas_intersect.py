@@ -69,3 +69,49 @@ def test_chunk_kernel_matches_dense_interpret():
         np.asarray(pk.beta)[both], np.asarray(dense.beta)[both],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_compact_grid_matches_dense_interpret():
+    """Compacted-grid variant (indexed chunk DMA) must agree with the dense
+    kernel — both the genuinely-compacted path (localized rays, few active
+    chunks) and the overflow fallback (rays piercing everything)."""
+    verts, valid = _scene(6000, seed=3, spread=12.0)  # 48 chunks -> cap 16
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+    assert cw.shape[0] > 16
+
+    rng = np.random.default_rng(4)
+    r = 256
+    kw = dict(min_dst=EPS, ray_tile=128, interpret=True)
+
+    # Case 1: localized short-baseline rays -> few active chunks per tile.
+    target = verts[valid][0, 0]
+    o1 = (target + rng.normal(scale=0.5, size=(r, 3))).astype(np.float32)
+    d1 = rng.normal(size=(r, 3)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    # Case 2: wide rays crossing the whole scene -> overflow fallback.
+    o2 = rng.uniform(-14, 14, size=(r, 3)).astype(np.float32)
+    d2 = rng.normal(size=(r, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+
+    for o, d in [(o1, d1), (o2, d2)]:
+        dense = closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+            jnp.asarray(cmax), jnp.asarray(woop), **kw,
+        )
+        comp = closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+            jnp.asarray(cmax), jnp.asarray(woop), compact=True, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.hit), np.asarray(comp.hit)
+        )
+        both = np.asarray(dense.hit)
+        np.testing.assert_allclose(
+            np.asarray(comp.t)[both], np.asarray(dense.t)[both], rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(comp.tri)[both], np.asarray(dense.tri)[both]
+        )

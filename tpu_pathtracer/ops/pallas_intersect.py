@@ -133,11 +133,15 @@ def tile_chunk_activity(
         out_shape=jax.ShapeDtypeStruct((sub, c), jnp.int32),
         interpret=interpret,
     )(rays, aabb_rows)
-    # OR-reduce sub-tiles up to the intersector's tile granularity, then
-    # bit-pack 32 chunks per int32 word for the SMEM-resident kernel mask.
+    # OR-reduce sub-tiles up to the intersector's tile granularity.
     group = ray_tile // at
     t_tiles = r // ray_tile
-    act = jnp.any(out.reshape(t_tiles, group, c) > 0, axis=1)
+    return jnp.any(out.reshape(t_tiles, group, c) > 0, axis=1).astype(jnp.int32)
+
+
+def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
+    """[T, C] 0/1 -> [T, ceil(C/32)] int32 words (SMEM-friendly mask)."""
+    t_tiles, c = act.shape
     pad = (-c) % 32
     if pad:
         act = jnp.concatenate(
@@ -145,11 +149,11 @@ def tile_chunk_activity(
         )
     bits = act.astype(jnp.int32).reshape(t_tiles, -1, 32)
     weights = (1 << jnp.arange(32, dtype=jnp.int32))[None, None, :]
-    return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)  # [T, C/32]
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret")
+    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret", "compact")
 )
 def closest_hit_chunks(
     origin: jnp.ndarray,  # [R, 3], R % ray_tile == 0
@@ -161,6 +165,7 @@ def closest_hit_chunks(
     min_dst: float,
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
+    compact: bool = False,
 ) -> Hit:
     r = origin.shape[0]
     c = chunk_woop.shape[0]
@@ -181,36 +186,57 @@ def closest_hit_chunks(
     )  # [8, C]
     active = tile_chunk_activity(rays, aabb_rows, min_dst, ray_tile, interpret)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the [T, C] activity mask lives in SMEM
-        grid=(t_tiles, c),
-        in_specs=[
-            pl.BlockSpec(
-                (ray_tile, 8), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+    def run_dense(active):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # the bit-packed activity mask, in SMEM
+            grid=(t_tiles, c),
+            in_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 8), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 12, CHUNK_TRIS), lambda i, j, *_: (j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, min_dst=min_dst),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((r, 1), jnp.float32),
+                jax.ShapeDtypeStruct((r, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(_bitpack(active), rays, chunk_woop)
+
+    if compact and c > 16:
+        # Compacted grid: slot s -> s-th active chunk, DMA-indexed through
+        # the prefetched id list.  Rare tiles with more than `cap` active
+        # chunks fall back to the dense grid (exactness preserved).
+        cap = min(c, max(8, (c // 4 + 7) // 8 * 8))
+        overflow = jnp.any(jnp.sum(active, axis=1) > cap)
+        t_best, tri = jax.lax.cond(
+            overflow,
+            lambda a: run_dense(a),
+            lambda a: _run_compact(
+                rays, chunk_woop, a, min_dst, ray_tile, cap, interpret
             ),
-            pl.BlockSpec(
-                (1, 12, CHUNK_TRIS), lambda i, j, *_: (j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-    )
-    t_best, tri = pl.pallas_call(
-        functools.partial(_kernel, min_dst=min_dst),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(active, rays, chunk_woop)
+            active,
+        )
+    else:
+        t_best, tri = run_dense(active)
 
     t_best = t_best[:, 0]
     tri = tri[:, 0]
@@ -233,6 +259,97 @@ def closest_hit_chunks(
         gamma=jnp.where(hit, gamma, 0.0),
         hit=hit,
     )
+
+
+def _compact_kernel(idx_ref, cnt_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst):
+    """Compacted-grid variant: grid slot s of tile i processes the s-th
+    ACTIVE chunk (idx_ref[i, s]); the chunk block DMA itself is indexed
+    through the prefetched id, so inactive chunks cost nothing at all."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
+        tidx_ref[:] = jnp.zeros_like(tidx_ref)
+
+    @pl.when(s < cnt_ref[i, 0])
+    def _body():
+        rays = rays_ref[:]
+        w = wc_ref[0]
+        o1 = rays[:, 0:4]
+        d0 = rays[:, 4:8]
+
+        def contract(x, r0):
+            return jnp.dot(
+                x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
+                precision=_PRECISION,
+            )
+
+        p0, p1, p2 = contract(o1, 0), contract(o1, 4), contract(o1, 8)
+        q0, q1, q2 = contract(d0, 0), contract(d0, 4), contract(d0, 8)
+        t = -p2 / q2
+        beta = p0 + t * q0
+        gamma = p1 + t * q1
+        ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= min_dst)
+        t_m = jnp.where(ok, t, jnp.inf)
+        chunk_min = jnp.min(t_m, axis=1, keepdims=True)
+        chunk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)
+        cur = tmin_ref[:]
+        better = chunk_min < cur
+        j_chunk = idx_ref[i, s]
+        tmin_ref[:] = jnp.where(better, chunk_min, cur)
+        tidx_ref[:] = jnp.where(
+            better, j_chunk * CHUNK_TRIS + chunk_arg[:, None], tidx_ref[:]
+        )
+
+
+def _run_compact(
+    rays, chunk_woop, active, min_dst, ray_tile, cap, interpret
+):
+    """Compact path: per-tile active-chunk id lists + indexed chunk DMA."""
+    r = rays.shape[0]
+    t_tiles = r // ray_tile
+    c = chunk_woop.shape[0]
+    # Active chunk ids in ascending order first (stable: key pushes inactive
+    # chunks past C).
+    order_key = (1 - active) * c + jax.lax.broadcasted_iota(
+        jnp.int32, active.shape, 1
+    )
+    idx = jnp.argsort(order_key, axis=1)[:, :cap].astype(jnp.int32)
+    counts = jnp.minimum(jnp.sum(active, axis=1), cap).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # idx [T, cap], counts [T, 1]
+        grid=(t_tiles, cap),
+        in_specs=[
+            pl.BlockSpec(
+                (ray_tile, 8), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 12, CHUNK_TRIS),
+                lambda i, s, idx_ref, cnt_ref: (idx_ref[i, s], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (ray_tile, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ray_tile, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, min_dst=min_dst),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(idx, counts[:, None], rays, chunk_woop)
 
 
 def ray_sort_key(
