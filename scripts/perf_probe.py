@@ -52,24 +52,26 @@ def main() -> int:
     cases = {"primary": (o, d), "incoherent": (jnp.asarray(o2), jnp.asarray(d2))}
 
     for tile in (256, 512, 1024):
-        for name, (oo, dd) in cases.items():
-            f = jax.jit(
-                lambda oo, dd, tile=tile: closest_hit_chunks(
-                    oo, dd, scene.chunk_woop, scene.chunk_aabb_min,
-                    scene.chunk_aabb_max, scene.woop, 1e-4, ray_tile=tile,
+        for compact in (False, True):
+            for name, (oo, dd) in cases.items():
+                f = jax.jit(
+                    lambda oo, dd, tile=tile, compact=compact: closest_hit_chunks(
+                        oo, dd, scene.chunk_woop, scene.chunk_aabb_min,
+                        scene.chunk_aabb_max, scene.woop, 1e-4,
+                        ray_tile=tile, compact=compact,
+                    )
                 )
-            )
-            h = f(oo, dd)
-            jax.block_until_ready(h)
-            t0 = time.time()
-            for _ in range(8):
                 h = f(oo, dd)
-            jax.block_until_ready(h)
-            emit(
-                event="kernel", ray_tile=tile, rays=name,
-                ms=round((time.time() - t0) / 8 * 1000, 2),
-                hits=int(h.hit.sum()),
-            )
+                jax.block_until_ready(h)
+                t0 = time.time()
+                for _ in range(8):
+                    h = f(oo, dd)
+                jax.block_until_ready(h)
+                emit(
+                    event="kernel", ray_tile=tile, compact=compact, rays=name,
+                    ms=round((time.time() - t0) / 8 * 1000, 2),
+                    hits=int(h.hit.sum()),
+                )
 
     # --- full render sweep --------------------------------------------------
     for rays, pp in ((16384, 4), (16384, 16)):
