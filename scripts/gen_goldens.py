@@ -4,6 +4,7 @@ procedural fixtures with the *compiled C++ reference binary*.
 
 Usage:
     python scripts/gen_goldens.py [--ref-src /root/reference] [--out tests/golden]
+                                  [--only substring]
 
 The reference is built out-of-tree (single translation unit, g++ -O2) and run
 at high spp so golden noise is well below the test renders' noise floor.  The
@@ -22,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_pathtracer.utils.testscenes import (  # noqa: E402
     make_cornell_gltf,
+    make_env_hdr,
     make_env_image,
     make_textured_cornell_gltf,
 )
@@ -64,60 +66,72 @@ def _build(ref_src: str, out_binary: str, config_edits=None) -> None:
     )
 
 
+def _env_edits(env_path):
+    return [
+        ("constexpr bool USE_ENV_MAP = false;",
+         "constexpr bool USE_ENV_MAP = true;"),
+        ('constexpr char ENV_MAP_PATH[] = "env.hdr";',
+         f'constexpr char ENV_MAP_PATH[] = "{env_path}";'),
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-src", default="/root/reference")
     ap.add_argument("--out", default=os.path.join("tests", "golden"))
+    ap.add_argument(
+        "--only", default="", help="substring filter on golden names"
+    )
     args = ap.parse_args()
+
+    def want(name: str) -> bool:
+        return args.only in name
 
     os.makedirs(args.out, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
-        binary = os.path.join(tmp, "raytracer")
-        _build(args.ref_src, binary)
-        for name, fixture, w, h, spp in GOLDENS:
-            scene_path = fixture(os.path.join(tmp, name, name + ".gltf"))
-            out_path = os.path.join(args.out, f"{name}_{spp}spp.ppm")
-            subprocess.check_call([binary, scene_path, str(w), str(h), str(spp), out_path])
+        if any(want(f"{n}_{s}spp") for n, _, _, _, s in GOLDENS):
+            binary = os.path.join(tmp, "raytracer")
+            _build(args.ref_src, binary)
+            for name, fixture, w, h, spp in GOLDENS:
+                if not want(f"{name}_{spp}spp"):
+                    continue
+                scene_path = fixture(os.path.join(tmp, name, name + ".gltf"))
+                out_path = os.path.join(args.out, f"{name}_{spp}spp.ppm")
+                subprocess.check_call(
+                    [binary, scene_path, str(w), str(h), str(spp), out_path]
+                )
+                print("wrote", out_path)
+
+        variants = [
+            # Environment-map variant: the reference only honors env maps via
+            # compile-time constants (src/config.h:36-38) — rebuild with them
+            # set and render the Cornell box under a procedural sky.
+            ("cornell_env_64x64_4096spp",
+             lambda: _env_edits(make_env_image(os.path.join(tmp, "env.png")))),
+            # Radiance-HDR env variant: the reference's default ENV_MAP_PATH
+            # is a real .hdr decoded by stb_image (src/config.h:38,
+            # src/stb_image.h:1); this golden proves our .hdr codec matches
+            # that path through the u8 bottleneck.
+            ("cornell_envhdr_64x64_4096spp",
+             lambda: _env_edits(make_env_hdr(os.path.join(tmp, "env.hdr")))),
+            # ADD_LIGHT_TRIANGLE (src/config.h:41-47, src/scene.h:479-498).
+            ("cornell_lt_64x64_4096spp",
+             lambda: [("constexpr bool ADD_LIGHT_TRIANGLE = false;",
+                       "constexpr bool ADD_LIGHT_TRIANGLE = true;")]),
+        ]
+        for name, edits_fn in variants:
+            if not want(name):
+                continue
+            v_binary = os.path.join(tmp, "raytracer_" + name)
+            _build(args.ref_src, v_binary, config_edits=edits_fn())
+            scene_path = make_cornell_gltf(
+                os.path.join(tmp, name, name + ".gltf")
+            )
+            out_path = os.path.join(args.out, f"{name}.ppm")
+            subprocess.check_call(
+                [v_binary, scene_path, "64", "64", "4096", out_path]
+            )
             print("wrote", out_path)
-
-        # Environment-map variant: the reference only honors env maps via
-        # compile-time constants (src/config.h:36-38), so rebuild with them
-        # set and render the Cornell box under a procedural sky.
-        env_png = make_env_image(os.path.join(tmp, "env.png"))
-        env_binary = os.path.join(tmp, "raytracer_env")
-        _build(
-            args.ref_src,
-            env_binary,
-            config_edits=[
-                ("constexpr bool USE_ENV_MAP = false;",
-                 "constexpr bool USE_ENV_MAP = true;"),
-                ('constexpr char ENV_MAP_PATH[] = "env.hdr";',
-                 f'constexpr char ENV_MAP_PATH[] = "{env_png}";'),
-            ],
-        )
-        scene_path = make_cornell_gltf(os.path.join(tmp, "envc", "envc.gltf"))
-        out_path = os.path.join(args.out, "cornell_env_64x64_4096spp.ppm")
-        subprocess.check_call(
-            [env_binary, scene_path, "64", "64", "4096", out_path]
-        )
-        print("wrote", out_path)
-
-        # ADD_LIGHT_TRIANGLE variant (src/config.h:41-47, src/scene.h:479-498).
-        lt_binary = os.path.join(tmp, "raytracer_lt")
-        _build(
-            args.ref_src,
-            lt_binary,
-            config_edits=[
-                ("constexpr bool ADD_LIGHT_TRIANGLE = false;",
-                 "constexpr bool ADD_LIGHT_TRIANGLE = true;"),
-            ],
-        )
-        scene_path = make_cornell_gltf(os.path.join(tmp, "ltc", "ltc.gltf"))
-        out_path = os.path.join(args.out, "cornell_lt_64x64_4096spp.ppm")
-        subprocess.check_call(
-            [lt_binary, scene_path, "64", "64", "4096", out_path]
-        )
-        print("wrote", out_path)
     return 0
 
 

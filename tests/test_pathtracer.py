@@ -71,6 +71,28 @@ def test_env_map_golden(tmp_path):
     assert np.abs(ours.mean() - ref.mean()) < 3.0
 
 
+def test_env_map_hdr_golden(tmp_path):
+    """Radiance-HDR env map vs a reference build whose ENV_MAP_PATH is a real
+    .hdr file (the reference's default env format, src/config.h:38), decoded
+    by stb_image.  Proves the utils/hdr codec matches stb's HDR->LDR path."""
+    from tpu_pathtracer.utils.testscenes import make_env_hdr
+
+    path = os.path.join(GOLDEN_DIR, "cornell_envhdr_64x64_4096spp.ppm")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    ref = read_ppm(path).astype(np.float64)
+    env_hdr = make_env_hdr(str(tmp_path / "env.hdr"))
+    config = RenderConfig(use_env_map=True, env_map_path=env_hdr)
+    p = make_cornell_gltf(str(tmp_path / "scene.gltf"))
+    scene = parse_gltf_scene(p, 1.0, config)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(64, 64))
+    img = render(scene, spp=64, seed=0, config=config)
+    ours = np.asarray(quantize_u8(img), dtype=np.float64)
+    rmse = float(np.sqrt(((ours - ref) ** 2).mean()))
+    assert rmse < 14.0, f"hdr env-map RMSE vs reference too high: {rmse}"
+    assert np.abs(ours.mean() - ref.mean()) < 3.0
+
+
 def test_light_triangle_golden(tmp_path):
     """ADD_LIGHT_TRIANGLE camera-space extra light (src/scene.h:479-498) vs a
     reference build compiled with the flag on."""

@@ -44,12 +44,73 @@ _COMPONENT_DTYPES = {5121: np.uint8, 5123: np.uint16, 5125: np.uint32}
 
 
 def _load_image_rgba(path: str) -> np.ndarray:
-    """Decode any PIL-supported image to [H, W, 4] float32 in [0, 1]."""
+    """Decode an image file to [H, W, 4] float32 in [0, 1].
+
+    Radiance HDR goes through our own codec (PIL cannot read it); everything
+    else through PIL.  Both mirror stb_image's 8-bit path
+    (src/geometry.h:584-598): u8 quantized, /255."""
+    with open(path, "rb") as f:
+        magic = f.read(10)
+    if magic.startswith(b"#?RADIANCE") or magic.startswith(b"#?RGBE"):
+        from ..utils.hdr import load_hdr_rgba_ldr
+
+        return load_hdr_rgba_ldr(path)
     from PIL import Image
 
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGBA"), dtype=np.float32) / 255.0
     return arr
+
+
+def _decode_image_bytes(data: bytes) -> np.ndarray:
+    """Decode in-memory image bytes (GLB buffer-view images) to RGBA f32."""
+    import io
+
+    if data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE"):
+        import tempfile
+
+        from ..utils.hdr import load_hdr_rgba_ldr
+
+        with tempfile.NamedTemporaryFile(suffix=".hdr") as tmp:
+            tmp.write(data)
+            tmp.flush()
+            return load_hdr_rgba_ldr(tmp.name)
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGBA"), dtype=np.float32) / 255.0
+
+
+def _read_glb(path: str):
+    """Parse a .glb binary container -> (gltf json dict, BIN chunk or None).
+
+    The reference has no GLB support (parse_gltf_scene reads JSON text,
+    src/scene.h:187) — this is an extension so the advertised .glb routing
+    is honest."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version, _length = struct.unpack_from("<4sII", data, 0)
+    if magic != b"glTF":
+        raise ValueError(f"{path}: not a GLB container")
+    if version != 2:
+        raise ValueError(f"{path}: unsupported GLB version {version}")
+    pos = 12
+    root = None
+    bin_chunk = None
+    while pos + 8 <= len(data):
+        clen, ctype = struct.unpack_from("<II", data, pos)
+        pos += 8
+        chunk = data[pos : pos + clen]
+        pos += clen
+        if ctype == 0x4E4F534A:  # 'JSON'
+            root = json.loads(chunk.decode("utf-8"))
+        elif ctype == 0x004E4942:  # 'BIN\0'
+            bin_chunk = chunk
+    if root is None:
+        raise ValueError(f"{path}: GLB has no JSON chunk")
+    return root, bin_chunk
 
 
 class _AtlasBuilder:
@@ -321,21 +382,36 @@ def parse_gltf_scene(
     background behavior of the CLI (src/main.cpp:28-31) is applied here from
     ``config`` so every caller sees the same scene the binary rendered.
     """
-    with open(path, "r") as f:
-        root = json.load(f)
+    glb_bin = None
+    if path.endswith(".glb"):
+        root, glb_bin = _read_glb(path)
+    else:
+        with open(path, "r") as f:
+            root = json.load(f)
     base = os.path.dirname(path)
 
     buffers: List[bytes] = []
     for buf_info in root.get("buffers", []):
-        with open(os.path.join(base, buf_info["uri"]), "rb") as f:
-            data = f.read()
+        if "uri" not in buf_info:
+            if glb_bin is None:
+                raise ValueError(f"{path}: buffer without uri outside GLB")
+            data = glb_bin
+        else:
+            with open(os.path.join(base, buf_info["uri"]), "rb") as f:
+                data = f.read()
         buffers.append(data[: buf_info["byteLength"]])
 
     atlas = _AtlasBuilder()
     tex_base = len(atlas.images)
     for tex_info in root.get("textures", []):
-        uri = root["images"][tex_info["source"]]["uri"]
-        atlas.add(_load_image_rgba(os.path.join(base, uri)))
+        img_info = root["images"][tex_info["source"]]
+        if "uri" in img_info:
+            atlas.add(_load_image_rgba(os.path.join(base, img_info["uri"])))
+        else:  # GLB: image stored in a bufferView
+            view = root["bufferViews"][img_info["bufferView"]]
+            off = view.get("byteOffset", 0)
+            raw = buffers[view["buffer"]][off : off + view["byteLength"]]
+            atlas.add(_decode_image_bytes(raw))
 
     env_tex = T.TEX_WHITE
     if config.use_env_map:

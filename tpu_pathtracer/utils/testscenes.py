@@ -165,6 +165,50 @@ class GltfBuilder:
             f.write(bytes(self.bin))
         return path
 
+    def write_glb(self, path: str) -> str:
+        """Write the scene as a .glb binary container: the buffer becomes the
+        BIN chunk and image files are embedded as bufferView images."""
+        bin_data = bytearray(self.bin)
+        images = []
+        base_views = len(self.buffer_views)
+        views = list(self.buffer_views)
+        for i, uri in enumerate(self.images):
+            with open(os.path.join(os.path.dirname(path) or ".", uri), "rb") as f:
+                raw = f.read()
+            off = len(bin_data)
+            bin_data.extend(raw)
+            while len(bin_data) % 4:
+                bin_data.append(0)
+            views.append({"buffer": 0, "byteOffset": off, "byteLength": len(raw)})
+            mime = "image/png" if uri.endswith(".png") else "image/jpeg"
+            images.append({"bufferView": base_views + i, "mimeType": mime})
+        root = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": list(range(len(self.nodes)))}],
+            "nodes": self.nodes,
+            "meshes": self.meshes,
+            "materials": self.materials,
+            "buffers": [{"byteLength": len(bin_data)}],
+            "bufferViews": views,
+            "accessors": self.accessors,
+        }
+        if self.cameras:
+            root["cameras"] = self.cameras
+        if self.textures:
+            root["textures"] = self.textures
+            root["images"] = images
+        js = json.dumps(root).encode()
+        js += b" " * ((-len(js)) % 4)
+        bin_chunk = bytes(bin_data) + b"\0" * ((-len(bin_data)) % 4)
+        total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<4sII", b"glTF", 2, total))
+            f.write(struct.pack("<II", len(js), 0x4E4F534A) + js)
+            f.write(struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk)
+        return path
+
 
 def quad(p0, p1, p2, p3) -> (np.ndarray, np.ndarray):
     pos = np.array([p0, p1, p2, p3], dtype=np.float32)
@@ -243,6 +287,24 @@ def make_env_image(path: str) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     Image.fromarray(img).save(path)
     return path
+
+
+def make_env_hdr(path: str) -> str:
+    """Deterministic Radiance HDR sky with true >1 dynamic range (a bright
+    'sun' disk at 8x plus banded gradients) — exercises the .hdr codec and
+    stb_image's HDR->LDR clamp the reference observes (utils/hdr.py)."""
+    from .hdr import write_hdr
+
+    h, w = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 0.1 + 0.6 * xx / (w - 1)
+    g = 0.8 * (1.0 - yy / (h - 1))
+    b = 0.2 + 0.5 * yy / (h - 1)
+    rgb = np.stack([r, g, b], axis=-1)
+    sun = ((xx - 16) ** 2 + (yy - 8) ** 2) < 16
+    rgb[sun] = (8.0, 7.0, 5.0)  # clamps to white through the u8 bottleneck
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    return write_hdr(path, rgb)
 
 
 def make_textured_cornell_gltf(path: str, light_strength: float = 20.0) -> str:
