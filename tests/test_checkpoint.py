@@ -57,3 +57,31 @@ def test_mismatched_checkpoint_ignored(tmp_path):
     a = render_with_checkpoints(scene, spp=2, seed=2, checkpoint_path=ck)
     b = render(scene, spp=2, seed=2)
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+
+def test_checkpoint_rejects_different_scene(tmp_path):
+    """A checkpoint from a different scene at the same (W, H, seed) must be
+    ignored, not blended in (scene/config fingerprint in the npz)."""
+    import dataclasses
+
+    from tpu_pathtracer.parallel.checkpoint import render_with_checkpoints
+    from tpu_pathtracer.scene.gltf import parse_gltf_scene
+    from tpu_pathtracer.models.pathtracer import render
+    from tpu_pathtracer.utils.testscenes import (
+        make_cornell_gltf,
+        make_textured_cornell_gltf,
+    )
+
+    def load(fixture, name):
+        p = fixture(str(tmp_path / name / (name + ".gltf")))
+        s = parse_gltf_scene(p, 1.0)
+        return dataclasses.replace(s, camera=s.camera.with_dims(16, 16))
+
+    a = load(make_cornell_gltf, "a")
+    b = load(make_textured_cornell_gltf, "b")
+    ckpt = str(tmp_path / "state.npz")
+    render_with_checkpoints(a, spp=4, seed=5, checkpoint_path=ckpt)
+    # Resume with a DIFFERENT scene: the stale checkpoint must be discarded.
+    img = render_with_checkpoints(b, spp=4, seed=5, checkpoint_path=ckpt)
+    want = render(b, spp=4, seed=5)
+    np.testing.assert_allclose(img, want, rtol=0, atol=1e-6)

@@ -44,6 +44,26 @@ def test_sharded_uses_all_devices(scene):
     assert img.shape == (16, 16, 3)
 
 
+def test_sharded_nondivisible_spp(scene):
+    """spp that does NOT divide the spp mesh axis must be honored exactly
+    (no silent rounding up — the samples rendered are exactly {0..spp-1})."""
+    for spp in (3, 5, 7):
+        want = render(scene, spp=spp, seed=11)
+        mesh = make_mesh(rays=2, spp=4)
+        got = render_sharded(scene, spp=spp, seed=11, mesh=mesh)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_sharded_sample_start_offset(scene):
+    """sample_start shifts the counter stream: [0,4) + [4,8) == [0,8)."""
+    lo = render_sharded(scene, spp=4, seed=3, mesh=make_mesh(rays=4, spp=2))
+    hi = render_sharded(
+        scene, spp=4, seed=3, mesh=make_mesh(rays=4, spp=2), sample_start=4
+    )
+    want = render(scene, spp=8, seed=3)
+    np.testing.assert_allclose((lo + hi) / 2, want, rtol=0, atol=1e-5)
+
+
 def test_multihost_single_process(scene):
     """With one process render_multihost degrades to the sharded render."""
     from tpu_pathtracer.parallel.multihost import (
@@ -55,3 +75,45 @@ def test_multihost_single_process(scene):
     img = render_multihost(scene, spp=8, seed=3)
     want = render(scene, spp=8, seed=3)
     np.testing.assert_allclose(img, want, rtol=0, atol=1e-5)
+
+
+def test_multihost_two_processes(scene, tmp_path):
+    """render_multihost's P>1 branch, executed for real: two jax.distributed
+    CPU processes (4 faked devices each) render disjoint sample slices of a
+    non-divisible spp and DCN-merge; rank 0's image must match the
+    single-process render."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    p = make_cornell_gltf(str(tmp_path / "c.gltf"))
+    out = str(tmp_path / "img.npy")
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multihost_worker.py"
+    )
+    spp = 7  # odd on purpose: 4 + 3 split across the two hosts
+    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), "2", f"localhost:{port}", p,
+             str(spp), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for r in range(2)
+    ]
+    for pr in procs:
+        try:
+            _, err = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        assert pr.returncode == 0, err[-2000:]
+    got = np.load(out)
+    want = render(scene, spp=spp, seed=3)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

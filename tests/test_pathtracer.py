@@ -50,6 +50,37 @@ def test_ray_depth_zero_returns_background(tmp_path):
     np.testing.assert_allclose(img, 1.0)  # white env background
 
 
+def test_persistent_engine_matches_scan(tmp_path):
+    """The persistent-wavefront (path regeneration / stream compaction)
+    engine is estimator-identical to the scan engine: per-lane RNG keys
+    compose (sample, depth, pixel) exactly like the scan chain."""
+    scene = _load(make_cornell_gltf, tmp_path, 24, 24)
+    a = render(scene, spp=5, seed=3, config=RenderConfig(compaction=False))
+    b = render(scene, spp=5, seed=3, config=RenderConfig(compaction=True))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_persistent_engine_sample_start(tmp_path):
+    """sample_start routes through the persistent engine's work pool: the
+    [0,2) + [2,4) splits average to the [0,4) render."""
+    import jax.numpy as jnp
+    import jax
+
+    from tpu_pathtracer.models.pathtracer import render_chunk_persistent
+
+    scene = _load(make_cornell_gltf, tmp_path, 8, 8)
+    config = RenderConfig(compaction=True)
+    base = jax.random.key(9)
+    args = lambda s0, spp: (
+        scene, jnp.asarray(0, jnp.int32), base, jnp.asarray(s0, jnp.int32),
+        64, spp, config,
+    )
+    lo = np.asarray(render_chunk_persistent(*args(0, 2)))
+    hi = np.asarray(render_chunk_persistent(*args(2, 2)))
+    both = np.asarray(render_chunk_persistent(*args(0, 4)))
+    np.testing.assert_allclose((lo + hi) / 2, both, rtol=0, atol=1e-5)
+
+
 def test_env_map_golden(tmp_path):
     """Environment-map path vs a reference build compiled with USE_ENV_MAP
     (the reference's env knobs are compile-time; ours are runtime config)."""

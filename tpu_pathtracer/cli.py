@@ -45,6 +45,7 @@ def render_scene_file(
     config: RenderConfig = DEFAULT_CONFIG,
     seed: int = 0,
     progress: bool = True,
+    timer=None,
 ):
     """Load + render any supported scene file -> (HDR numpy image, metrics)."""
     from .utils.metrics import RenderMetrics
@@ -60,7 +61,10 @@ def render_scene_file(
         )
         t_load = time.perf_counter() - t0
         t1 = time.perf_counter()
-        hdr = render(scene, spp=samples, seed=seed, config=config, progress=progress)
+        hdr = render(
+            scene, spp=samples, seed=seed, config=config, progress=progress,
+            timer=timer,
+        )
         depth = scene.ray_depth
     else:
         from .scene.homebrew import parse_homebrew_scene
@@ -136,10 +140,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         height = _strtol(argv[3])
         samples = _strtol(argv[4])
 
-        from .utils.profiling import device_trace
+        from .utils.profiling import PhaseTimer, device_trace
 
+        timer = PhaseTimer()
         with device_trace(os.environ.get("TPU_PATHTRACER_TRACE_DIR")):
-            hdr, metrics = render_scene_file(argv[1], width, height, samples)
+            with timer.phase("load_render"):
+                hdr, metrics = render_scene_file(
+                    argv[1], width, height, samples, timer=timer
+                )
 
         from .utils.image import quantize_u8, write_ppm
         import numpy as np
@@ -148,14 +156,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         parent = os.path.dirname(out_path)
         if parent:
             os.makedirs(parent, exist_ok=True)  # create_directories, main.cpp:41
-        pixels = np.asarray(quantize_u8(hdr))
-        if out_path.lower().endswith(".png"):
-            # Capability superset: the reference only writes P6 PPM.
-            from PIL import Image
+        with timer.phase("tonemap_write"):
+            pixels = np.asarray(quantize_u8(hdr))
+            if out_path.lower().endswith(".png"):
+                # Capability superset: the reference only writes P6 PPM.
+                from PIL import Image
 
-            Image.fromarray(pixels).save(out_path)
-        else:
-            write_ppm(out_path, pixels)
+                Image.fromarray(pixels).save(out_path)
+            else:
+                write_ppm(out_path, pixels)
+        timer.report()  # per-phase seconds (SURVEY §5 tracing contract)
         print(metrics.to_json(), file=sys.stderr)
         return 0
     except (RuntimeError, OSError, ValueError) as err:

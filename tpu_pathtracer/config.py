@@ -66,5 +66,11 @@ class RenderConfig:
     # checkpointable between passes (the reference had no checkpointing).
     spp_per_pass: int = 16
 
+    # Wavefront engine: True = persistent wavefront with path regeneration
+    # (true stream compaction: dead lanes refill with fresh samples each
+    # iteration, ~100% lane occupancy); False = fixed scan over ray_depth
+    # bounces.  Both produce the same estimator sample-for-sample.
+    compaction: bool = True
+
 
 DEFAULT_CONFIG = RenderConfig()

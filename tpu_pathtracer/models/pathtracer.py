@@ -202,6 +202,116 @@ def hit_info(
     )
 
 
+def bounce_step(
+    scene: TriangleScene,
+    config: RenderConfig,
+    o: jnp.ndarray,  # [R, 3]
+    d: jnp.ndarray,  # [R, 3]
+    throughput: jnp.ndarray,  # [R, 3]
+    radiance: jnp.ndarray,  # [R, 3]
+    alive: jnp.ndarray,  # [R] bool
+    draws: jnp.ndarray,  # [R, _DRAWS] U[0,1)
+):
+    """One wavefront bounce: the full masked-select form of ``shade``
+    (src/raytracer.h:555-591) over R lanes.  Shared by the scan engine
+    (``trace``) and the persistent-compaction engine
+    (``render_chunk_persistent``); returns updated (o, d, throughput,
+    radiance, alive)."""
+    eps = config.eps
+    vf = config.vndf_factor
+    lights = scene.lights
+    has_light_rows = lights.capacity > 0
+
+    hit = scene_closest_hit(scene, o, d, eps)
+
+    if scene.atlas.offset.shape[0] > 2 and config.use_textures:
+        env = texture.env_radiance(
+            scene.atlas, scene.env_tex, scene.bg_color, d, True
+        )
+    else:
+        # No env texture in the atlas: bg_at degenerates to bg_color
+        # (white 1x1 sample — src/scene.h:83-89 with WHITE_TEXTURE).
+        env = jnp.broadcast_to(scene.bg_color, d.shape)
+    miss = alive & ~hit.hit
+    radiance = radiance + jnp.where(miss[:, None], throughput * env, 0.0)
+
+    live = alive & hit.hit
+    info = hit_info(scene, d, hit, config)
+    pos = o + hit.t[:, None] * d
+
+    # Alpha transparency Russian roulette (src/raytracer.h:558-561):
+    # coin(alpha) FAILS with prob 1-alpha -> continue same direction.
+    alpha_pass = draws[:, 0] > info["color"][:, 3]
+    passthrough = live & alpha_pass
+    shade = live & ~alpha_pass
+
+    radiance = radiance + jnp.where(
+        shade[:, None], throughput * info["emission"], 0.0
+    )
+
+    # --- direction sampling -------------------------------------------
+    alpha_r2 = jnp.maximum(info["roughness"], config.min_roughness) ** 2
+    use_vndf = draws[:, 1] <= vf
+    vndf_dir = sampling.vndf_sample(
+        alpha_r2, d, info["shading_normal"], draws[:, 2], draws[:, 3]
+    )
+    cos_dir = sampling.cosine_sample(info["normal"], draws[:, 5], draws[:, 6])
+    if has_light_rows:
+        n_lights = lights.count
+        pick_light = (sampling.pick_uniform(draws[:, 4], jnp.asarray(2)) == 1) & (
+            n_lights > 0
+        )
+        li = sampling.pick_uniform(draws[:, 7], n_lights)
+        lv = lights.verts[li]  # [R, 3, 3]
+        light_dir = sampling.light_triangle_sample(
+            pos, lv[:, 0], lv[:, 1], lv[:, 2], draws[:, 8], draws[:, 9]
+        )
+        mix_dir = where3(pick_light, light_dir, cos_dir)
+    else:
+        mix_dir = cos_dir
+    new_dir = where3(use_vndf, vndf_dir, mix_dir)
+
+    # --- pdf blend (src/raytracer.h:572-574) --------------------------
+    p_vndf = sampling.vndf_pdf(
+        alpha_r2, d, info["shading_normal"], new_dir, eps
+    )
+    p_cos = sampling.cosine_pdf(info["normal"], new_dir)
+    if has_light_rows:
+        p_light = light_pdf_sum(
+            pos, new_dir, lights.verts, lights.normal, lights.area,
+            lights.count, eps,
+        )
+        p_mix = jnp.where(lights.count > 0, (p_cos + p_light) / 2.0, p_cos)
+    else:
+        p_mix = p_cos
+    p = vf * p_vndf + (1.0 - vf) * p_mix
+
+    # --- throughput update + kill conditions --------------------------
+    f = bsdf.pbr_brdf(
+        d,
+        new_dir,
+        info["shading_normal"],
+        info["color"][:, :3],
+        info["metallic"],
+        info["roughness"],
+        info["ior"],
+        config.min_roughness,
+    )
+    cos_term = jnp.maximum(0.0, dot(new_dir, info["shading_normal"]))
+    scl = f / p[:, None] * cos_term[:, None]
+
+    dir_nan = jnp.any(jnp.isnan(new_dir), axis=-1)
+    kill = dir_nan | (p < eps) | (length2(scl) == 0.0)
+    cont = shade & ~kill
+
+    throughput = jnp.where(cont[:, None], throughput * scl, throughput)
+    moved = passthrough | cont
+    o = where3(moved, pos, o)
+    d = where3(cont, new_dir, d)
+    alive = moved
+    return o, d, throughput, radiance, alive
+
+
 def trace(
     scene: TriangleScene,
     origin: jnp.ndarray,  # [R, 3]
@@ -212,124 +322,35 @@ def trace(
 ) -> jnp.ndarray:  # [R, 3] radiance (NOT NaN-sanitized; caller does that)
     """One full path per input ray: scan over ray_depth wavefront bounces."""
     r = origin.shape[0]
-    eps = config.eps
-    vf = config.vndf_factor
-    lights = scene.lights
-    has_light_rows = lights.capacity > 0
     # Wavefront ray sorting (large scenes only): reorder the whole carry by a
     # coherence key each bounce so the Pallas intersector's tile-level chunk
     # unions stay tight.  Per-pixel RNG keys make the reorder observationally
-    # free; the carried pixel ids recover the output order.
+    # free; the carried slot array recovers the output order.
     sort_rays = scene.capacity > 1024 and r >= 2048
     if sort_rays:
         scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
         scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
 
     def bounce(carry, bounce_idx):
-        o, d, throughput, radiance, alive, pids = carry
+        o, d, throughput, radiance, alive, pids, slot = carry
         if sort_rays:
             from ..ops.pallas_intersect import ray_sort_key
 
             perm = jnp.argsort(ray_sort_key(o, d, alive, scene_lo, scene_hi))
-            o, d, throughput, radiance, alive, pids = (
+            o, d, throughput, radiance, alive, pids, slot = (
                 o[perm], d[perm], throughput[perm], radiance[perm],
-                alive[perm], pids[perm],
+                alive[perm], pids[perm], slot[perm],
             )
         k = jax.random.fold_in(key, bounce_idx)
         draws = per_pixel_uniforms(k, pids, _DRAWS)
-
-        hit = scene_closest_hit(scene, o, d, eps)
-
-        if scene.atlas.offset.shape[0] > 2 and config.use_textures:
-            env = texture.env_radiance(
-                scene.atlas, scene.env_tex, scene.bg_color, d, True
-            )
-        else:
-            # No env texture in the atlas: bg_at degenerates to bg_color
-            # (white 1x1 sample — src/scene.h:83-89 with WHITE_TEXTURE).
-            env = jnp.broadcast_to(scene.bg_color, d.shape)
-        miss = alive & ~hit.hit
-        radiance = radiance + jnp.where(miss[:, None], throughput * env, 0.0)
-
-        live = alive & hit.hit
-        info = hit_info(scene, d, hit, config)
-        pos = o + hit.t[:, None] * d
-
-        # Alpha transparency Russian roulette (src/raytracer.h:558-561):
-        # coin(alpha) FAILS with prob 1-alpha -> continue same direction.
-        alpha_pass = draws[:, 0] > info["color"][:, 3]
-        passthrough = live & alpha_pass
-        shade = live & ~alpha_pass
-
-        radiance = radiance + jnp.where(
-            shade[:, None], throughput * info["emission"], 0.0
+        o, d, throughput, radiance, alive = bounce_step(
+            scene, config, o, d, throughput, radiance, alive, draws
         )
-
-        # --- direction sampling -------------------------------------------
-        alpha_r2 = jnp.maximum(info["roughness"], config.min_roughness) ** 2
-        use_vndf = draws[:, 1] <= vf
-        vndf_dir = sampling.vndf_sample(
-            alpha_r2, d, info["shading_normal"], draws[:, 2], draws[:, 3]
-        )
-        cos_dir = sampling.cosine_sample(info["normal"], draws[:, 5], draws[:, 6])
-        if has_light_rows:
-            n_lights = lights.count
-            pick_light = (sampling.pick_uniform(draws[:, 4], jnp.asarray(2)) == 1) & (
-                n_lights > 0
-            )
-            li = sampling.pick_uniform(draws[:, 7], n_lights)
-            lv = lights.verts[li]  # [R, 3, 3]
-            light_dir = sampling.light_triangle_sample(
-                pos, lv[:, 0], lv[:, 1], lv[:, 2], draws[:, 8], draws[:, 9]
-            )
-            mix_dir = where3(pick_light, light_dir, cos_dir)
-        else:
-            mix_dir = cos_dir
-        new_dir = where3(use_vndf, vndf_dir, mix_dir)
-
-        # --- pdf blend (src/raytracer.h:572-574) --------------------------
-        p_vndf = sampling.vndf_pdf(
-            alpha_r2, d, info["shading_normal"], new_dir, eps
-        )
-        p_cos = sampling.cosine_pdf(info["normal"], new_dir)
-        if has_light_rows:
-            p_light = light_pdf_sum(
-                pos, new_dir, lights.verts, lights.normal, lights.area,
-                lights.count, eps,
-            )
-            p_mix = jnp.where(lights.count > 0, (p_cos + p_light) / 2.0, p_cos)
-        else:
-            p_mix = p_cos
-        p = vf * p_vndf + (1.0 - vf) * p_mix
-
-        # --- throughput update + kill conditions --------------------------
-        f = bsdf.pbr_brdf(
-            d,
-            new_dir,
-            info["shading_normal"],
-            info["color"][:, :3],
-            info["metallic"],
-            info["roughness"],
-            info["ior"],
-            config.min_roughness,
-        )
-        cos_term = jnp.maximum(0.0, dot(new_dir, info["shading_normal"]))
-        scl = f / p[:, None] * cos_term[:, None]
-
-        dir_nan = jnp.any(jnp.isnan(new_dir), axis=-1)
-        kill = dir_nan | (p < eps) | (length2(scl) == 0.0)
-        cont = shade & ~kill
-
-        throughput = jnp.where(cont[:, None], throughput * scl, throughput)
-        moved = passthrough | cont
-        o = where3(moved, pos, o)
-        d = where3(cont, new_dir, d)
-        alive = moved
         if sort_rays:
             # Null dead rays to a far-away origin: their tiles then miss
             # every chunk AABB and the intersector skips them entirely.
             o = where3(alive, o, jnp.full((3,), 1e30, o.dtype))
-        return (o, d, throughput, radiance, alive, pids), None
+        return (o, d, throughput, radiance, alive, pids, slot), None
 
     # Derive carry inits from the (possibly shard_map-varying) inputs so the
     # scan carry keeps a consistent varying-axis type under shard_map.
@@ -340,6 +361,10 @@ def trace(
         origin * 0.0,  # radiance = 0
         jnp.isfinite(origin[:, 0]),  # alive = True
         pixel_ids,
+        # slot[i] = input position of the ray currently at position i; the
+        # composed per-bounce permutation is inverted through it, so callers
+        # may pass ANY pixel_ids (shuffled, duplicated) safely.
+        pixel_ids * 0 + jnp.arange(r, dtype=jnp.int32),
     )
     def bounce_or_skip(carry, bounce_idx):
         # Whole-wavefront early exit: once every ray is dead the remaining
@@ -351,22 +376,188 @@ def trace(
             carry,
         ), None
 
-    (o, d, throughput, radiance, alive, pids), _ = jax.lax.scan(
+    (o, d, throughput, radiance, alive, pids, slot), _ = jax.lax.scan(
         bounce_or_skip, init, jnp.arange(scene.ray_depth)
     )
     # Depth exhaustion: the reference's deepest call returns {0,0,0}, which a
     # NaN throughput chain turns into NaN (src/raytracer.h:596-598).
     radiance = radiance + jnp.where(alive[:, None], throughput * 0.0, 0.0)
     if sort_rays:
-        # Undo the accumulated per-bounce permutations.
-        order = jnp.argsort(pids)
-        radiance = radiance[order]
+        # Undo the accumulated per-bounce permutations: slot is the composed
+        # permutation, argsort of a permutation is its exact inverse.
+        radiance = radiance[jnp.argsort(slot)]
     return radiance
+
 
 
 def sanitize_nans(color: jnp.ndarray) -> jnp.ndarray:
     """sanitize_nans (src/raytracer.h:607-616): per-channel NaN -> 0."""
     return jnp.where(jnp.isnan(color), 0.0, color)
+
+
+def _lane_uniforms(
+    key: jax.Array,
+    sample_ids: jnp.ndarray,  # [R] int32
+    depths: jnp.ndarray,  # [R] int32
+    pixel_ids: jnp.ndarray,  # [R] int32
+    n_draws: int,
+) -> jnp.ndarray:
+    """Per-lane draws for heterogeneous (sample, depth) lanes.
+
+    Composes fold_in(fold_in(fold_in(base, sample), depth), pixel) — the
+    exact key chain render_chunk/trace/per_pixel_uniforms build — so the
+    persistent engine consumes bit-identical uniforms to the scan engine for
+    every (pixel, sample, depth) triple."""
+    def one(s, b, p):
+        k = jax.random.fold_in(jax.random.fold_in(jax.random.fold_in(key, s), b), p)
+        return jax.random.uniform(k, (n_draws,), dtype=jnp.float32)
+
+    return jax.vmap(one)(sample_ids, depths, pixel_ids)
+
+
+@partial(jax.jit, static_argnames=("n_rays", "spp", "config"))
+def render_chunk_persistent(
+    scene: TriangleScene,
+    chunk_start: jnp.ndarray,  # [] int32 first linear pixel id
+    key: jax.Array,
+    sample_start: jnp.ndarray,  # [] int32 (checkpoint resume offset)
+    n_rays: int,
+    spp: int,
+    config: RenderConfig,
+) -> jnp.ndarray:  # [n_rays, 3] mean radiance
+    """Persistent-wavefront engine with TRUE stream compaction.
+
+    The scan engine (``render_chunk``) keeps dispatch width R for all
+    ``ray_depth`` bounces even as the wavefront dies; sorting only herds dead
+    rays into chunk-inactive tiles.  This engine instead *refills* dead lanes
+    with fresh (pixel, sample) primary rays each iteration (Laine et al.'s
+    path regeneration, re-expressed as a ``lax.while_loop`` over a fixed-R
+    wavefront — the TPU/XLA shape-stable form of stream compaction): lane
+    occupancy stays ~100% until the work pool drains, so the total iteration
+    count approaches W·E[path length]/R instead of spp·ray_depth.
+
+    Estimator-identical to render_chunk: per-lane RNG keys compose
+    (sample, depth, pixel) exactly like the scan chain, so every
+    (pixel, sample) path takes identical draws; only the per-pixel summation
+    order differs (fp reassociation noise).
+    """
+    depth_cap = scene.ray_depth
+    w_total = n_rays * spp  # work pool: sample-major (s = w // n_rays)
+    sort_rays = scene.capacity > 1024 and n_rays >= 2048
+    if sort_rays:
+        scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
+        scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
+
+    def spawn(work_ids, valid):
+        """Primary rays for work ids (sample-major order)."""
+        w = jnp.where(valid, work_ids, 0)
+        slot = (w % n_rays).astype(jnp.int32)
+        s = (w // n_rays).astype(jnp.int32)
+        pids = chunk_start + slot
+        # Pixel-jitter draws: fold chain fold_in(fold_in(key, s), JITTER) then
+        # per-pixel — identical to render_chunk's offsets.
+        def jitter(s_i, p_i):
+            k = jax.random.fold_in(
+                jax.random.fold_in(jax.random.fold_in(key, s_i), 0x7FFFFFFF), p_i
+            )
+            return jax.random.uniform(k, (2,), dtype=jnp.float32)
+
+        offs = jax.vmap(jitter)(sample_start + s, pids)
+        o, d = gen_rays(scene.camera, pids, offs)
+        return o, d, slot, s
+
+    # Initial fill: work items [0, R) = every pixel's sample 0.
+    iota = jnp.arange(n_rays, dtype=jnp.int32)
+    valid0 = iota < w_total
+    o0, d0, slot0, s0 = spawn(iota, valid0)
+    state = dict(
+        o=o0,
+        d=d0,
+        throughput=jnp.ones((n_rays, 3), jnp.float32),
+        radiance=jnp.zeros((n_rays, 3), jnp.float32),
+        alive=valid0,
+        active=valid0,  # lane holds a real path (alive => active)
+        slot=slot0,  # chunk-local pixel slot for the accumulator scatter
+        sample=s0,
+        depth=jnp.zeros((n_rays,), jnp.int32),
+        next_work=jnp.asarray(n_rays if n_rays < w_total else w_total, jnp.int32),
+        accum=jnp.zeros((n_rays, 3), jnp.float32),
+    )
+
+    def cond(st):
+        return jnp.any(st["alive"]) | (st["next_work"] < w_total)
+
+    def body(st):
+        o, d = st["o"], st["d"]
+        throughput, radiance = st["throughput"], st["radiance"]
+        alive, active = st["alive"], st["active"]
+        slot, sample, depth = st["slot"], st["sample"], st["depth"]
+        next_work, accum = st["next_work"], st["accum"]
+
+        if sort_rays:
+            from ..ops.pallas_intersect import ray_sort_key
+
+            perm = jnp.argsort(ray_sort_key(o, d, alive, scene_lo, scene_hi))
+            o, d, throughput, radiance, alive, active, slot, sample, depth = (
+                o[perm], d[perm], throughput[perm], radiance[perm],
+                alive[perm], active[perm], slot[perm], sample[perm],
+                depth[perm],
+            )
+
+        draws = _lane_uniforms(
+            key, sample_start + sample, depth, chunk_start + slot, _DRAWS
+        )
+        o, d, throughput, radiance, alive2 = bounce_step(
+            scene, config, o, d, throughput, radiance, alive, draws
+        )
+        alive2 = alive2 & alive  # dead/inactive lanes stay dead
+        depth = depth + 1
+
+        # Path termination: killed this bounce, or depth budget exhausted.
+        exhausted = alive2 & (depth >= depth_cap)
+        # Depth exhaustion adds throughput*0 (NaN algebra, raytracer.h:596).
+        radiance = radiance + jnp.where(
+            exhausted[:, None], throughput * 0.0, 0.0
+        )
+        done = active & (~alive2 | exhausted)
+        alive2 = alive2 & ~exhausted
+
+        # Scatter finished samples into the accumulator (per-sample NaN
+        # sanitize exactly as render_pixel does, src/raytracer.h:607-616).
+        contrib = jnp.where(done[:, None], sanitize_nans(radiance), 0.0)
+        accum = accum.at[jnp.where(done, slot, n_rays)].add(
+            contrib, mode="drop"
+        )
+
+        # Regenerate: freed lanes pull the next work items.
+        free = done | ~active
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        work_ids = next_work + rank
+        take = free & (work_ids < w_total)
+        no, nd, nslot, nsample = spawn(work_ids, take)
+        o = where3(take, no, o)
+        d = where3(take, nd, d)
+        throughput = jnp.where(take[:, None], 1.0, throughput)
+        radiance = jnp.where(take[:, None], 0.0, radiance)
+        slot = jnp.where(take, nslot, slot)
+        sample = jnp.where(take, nsample, sample)
+        depth = jnp.where(take, 0, depth)
+        alive2 = alive2 | take
+        active = (active & ~done) | take
+        next_work = jnp.minimum(
+            next_work + jnp.sum(free.astype(jnp.int32)), w_total
+        )
+        if sort_rays:
+            # Null dead lanes far away so their tiles skip every chunk.
+            o = where3(alive2, o, jnp.full((3,), 1e30, o.dtype))
+        return dict(
+            o=o, d=d, throughput=throughput, radiance=radiance, alive=alive2,
+            active=active, slot=slot, sample=sample, depth=depth,
+            next_work=next_work, accum=accum,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["accum"] / spp
 
 
 @partial(jax.jit, static_argnames=("n_rays", "spp", "config"))
@@ -413,16 +604,25 @@ def render(
     seed: int = 0,
     config: RenderConfig = None,
     progress: bool = False,
+    timer=None,
 ):
     """Full-frame render -> host numpy [H, W, 3] float32 HDR radiance.
 
     Replaces the reference's span thread pool (run_raytracer,
     src/raytracer.h:629-674): pixel chunks are jitted megabatches instead of
     256-pixel CPU spans, looped from host with a folded key per chunk.
+
+    ``timer``: optional ``utils.profiling.PhaseTimer`` accumulating the
+    host-visible phases (trace+compile+enqueue vs device wait/readback).
     """
+    import contextlib
+
     import numpy as np
 
     config = config or RenderConfig()
+    phase = timer.phase if timer is not None else (
+        lambda _name: contextlib.nullcontext()
+    )
     cam = scene.camera
     h, w = cam.height, cam.width
     npix = h * w
@@ -456,18 +656,22 @@ def render(
                 print(f"{done_tiles}/{n_tiles}     \r", end="", file=sys.stderr)
                 done_tiles += 1
             todo = min(pass_spp, spp - s0)
-            rad = render_chunk(
-                scene,
-                jnp.asarray(start, jnp.int32),
-                base,
-                jnp.asarray(s0, jnp.int32),
-                chunk,
-                todo,
-                config,
-            )
-            contrib = rad * float(todo)
-            acc = contrib if acc is None else acc + contrib
+            engine = render_chunk_persistent if config.compaction else render_chunk
+            with phase("dispatch"):  # trace+compile on first call, then enqueue
+                rad = engine(
+                    scene,
+                    jnp.asarray(start, jnp.int32),
+                    base,
+                    jnp.asarray(s0, jnp.int32),
+                    chunk,
+                    todo,
+                    config,
+                )
+                contrib = rad * float(todo)
+                acc = contrib if acc is None else acc + contrib
         pending.append((start, n, acc))
     for start, n, acc in pending:
-        out[start : start + n] = np.asarray(acc[:n]) / spp
+        with phase("device_wait_readback"):
+            host = np.asarray(acc[:n])
+        out[start : start + n] = host / spp
     return out.reshape(h, w, 3)

@@ -25,6 +25,22 @@ from ..models.pathtracer import render_chunk
 from ..scene.types import TriangleScene
 
 
+def scene_fingerprint(scene: TriangleScene, config: RenderConfig) -> int:
+    """Cheap stable hash of the scene arrays + render config.
+
+    Guards resume against blending a checkpoint from a *different* scene or
+    estimator config into the new accumulator (same-resolution/seed
+    checkpoints are otherwise indistinguishable)."""
+    import zlib
+
+    crc = zlib.crc32(repr(config).encode())
+    for leaf in jax.tree.leaves(scene):
+        arr = np.asarray(leaf)
+        crc = zlib.crc32(arr.tobytes(), crc)
+        crc = zlib.crc32(str(arr.dtype).encode() + str(arr.shape).encode(), crc)
+    return crc
+
+
 @dataclasses.dataclass
 class RenderState:
     """Resumable accumulation state: sum of per-sample radiance per pixel."""
@@ -34,6 +50,7 @@ class RenderState:
     width: int
     height: int
     seed: int
+    fingerprint: int = 0  # scene+config hash (0 = unknown, legacy checkpoints)
 
     @property
     def image(self) -> np.ndarray:
@@ -57,6 +74,7 @@ class RenderState:
                     width=self.width,
                     height=self.height,
                     seed=self.seed,
+                    fingerprint=self.fingerprint,
                 )
             os.replace(tmp, path)
         finally:
@@ -72,6 +90,7 @@ class RenderState:
             width=int(z["width"]),
             height=int(z["height"]),
             seed=int(z["seed"]),
+            fingerprint=int(z["fingerprint"]) if "fingerprint" in z else 0,
         )
 
 
@@ -101,10 +120,13 @@ def render_with_checkpoints(
             np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
         ).copy()
 
+    fp = scene_fingerprint(scene, config)
     state = None
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         cand = RenderState.load(checkpoint_path)
-        if (cand.width, cand.height, cand.seed) == (w, h, seed):
+        if (cand.width, cand.height, cand.seed) == (w, h, seed) and (
+            cand.fingerprint in (0, fp)  # 0: legacy checkpoint, accept
+        ):
             state = cand
     if state is None:
         state = RenderState(
@@ -113,6 +135,7 @@ def render_with_checkpoints(
             width=w,
             height=h,
             seed=seed,
+            fingerprint=fp,
         )
 
     from ..models.pathtracer import pick_chunk
@@ -123,9 +146,12 @@ def render_with_checkpoints(
 
     while state.samples_done < spp:
         todo = min(pass_spp, spp - state.samples_done)
+        from ..models.pathtracer import render_chunk_persistent
+
+        engine = render_chunk_persistent if config.compaction else render_chunk
         for start in range(0, npix, chunk):
             n = min(chunk, npix - start)
-            rad = render_chunk(
+            rad = engine(
                 scene,
                 jnp.asarray(start, jnp.int32),
                 base,

@@ -66,9 +66,12 @@ def render_pass_sharded(
     n_rays_mesh = mesh.shape["rays"]
     n_spp_mesh = mesh.shape["spp"]
     assert n_rays_global % n_rays_mesh == 0
-    assert spp % n_spp_mesh == 0
     n_local = n_rays_global // n_rays_mesh
-    spp_local = spp // n_spp_mesh
+    # Each spp rank covers a contiguous slice of ceil(spp / n_spp_mesh)
+    # global sample indices, with indices >= spp masked out — so ANY spp is
+    # honored exactly (the set of rendered samples is exactly {0..spp-1},
+    # matching the single-device render sample-for-sample).
+    spp_local = -(-spp // n_spp_mesh)
 
     def shard_body(scene_rep: TriangleScene, chunk_start, key, sample_start):
         ray_idx = jax.lax.axis_index("rays")
@@ -80,14 +83,16 @@ def render_pass_sharded(
         pixel_ids = jax.lax.pcast(pixel_ids, ("spp",), to="varying")
 
         def body(s, acc):
-            global_s = sample_start + spp_idx * spp_local + s
+            rel_s = spp_idx * spp_local + s
+            global_s = sample_start + rel_s
             k = jax.random.fold_in(key, global_s)
             offsets = per_pixel_uniforms(
                 jax.random.fold_in(k, 0x7FFFFFFF), pixel_ids, 2
             )
             o, d = gen_rays(scene_rep.camera, pixel_ids, offsets)
             rad = trace(scene_rep, o, d, k, pixel_ids, config)
-            return acc + sanitize_nans(rad)
+            rad = jnp.where(rel_s < spp, sanitize_nans(rad), 0.0)
+            return acc + rad
 
         acc0 = jax.lax.pcast(
             jnp.zeros((n_local, 3), jnp.float32), ("rays", "spp"), to="varying"
@@ -113,8 +118,13 @@ def render_sharded(
     seed: int = 0,
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
+    sample_start: int = 0,
 ) -> np.ndarray:
-    """Full-frame multi-chip render -> host numpy [H, W, 3] float32 HDR."""
+    """Full-frame multi-chip render -> host numpy [H, W, 3] float32 HDR.
+
+    Renders exactly ``spp`` samples (sample indices ``sample_start`` to
+    ``sample_start + spp - 1`` of the seed's counter stream — the offset is
+    how multi-host slices stay disjoint)."""
     config = config or RenderConfig()
     mesh = mesh or make_mesh()
     cam = scene.camera
@@ -124,14 +134,16 @@ def render_sharded(
         return np.broadcast_to(
             np.asarray(scene.bg_color, dtype=np.float32), (h, w, 3)
         ).copy()
+    spp = max(int(spp), 1)
 
     n_rays_mesh = mesh.shape["rays"]
-    n_spp_mesh = mesh.shape["spp"]
-    spp_eff = max(spp, n_spp_mesh)
-    spp_eff += (-spp_eff) % n_spp_mesh
-    # Global chunk: per-device batch size * ray shards, capped to the frame.
-    chunk = min(config.rays_per_batch * n_rays_mesh, npix)
-    chunk += (-chunk) % n_rays_mesh
+    # Global chunk = per-device batch * ray shards, with the per-device batch
+    # rounded up to the Pallas ray tile so sharded renders keep the fast
+    # intersector (pick_chunk pads; extra pixel ids render and are dropped).
+    from ..models.pathtracer import pick_chunk
+
+    per_dev = pick_chunk(config, -(-npix // n_rays_mesh))
+    chunk = per_dev * n_rays_mesh
 
     base = jax.random.key(seed)
     out = np.zeros((npix, 3), dtype=np.float32)
@@ -141,9 +153,9 @@ def render_sharded(
             scene,
             jnp.asarray(start, jnp.int32),
             base,
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(sample_start, jnp.int32),
             chunk,
-            spp_eff,
+            spp,
             config,
             mesh,
         )

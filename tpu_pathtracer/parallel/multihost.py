@@ -59,34 +59,29 @@ def render_multihost(
     if p == 1:
         return render_sharded(scene, spp, seed, config)
 
-    assert spp % p == 0, f"spp {spp} must divide across {p} hosts"
-    local_spp = spp // p
+    # Split spp across hosts with the remainder spread over the first ranks
+    # (no divisibility requirement); sample_start offsets the counter stream
+    # so the slices are disjoint by construction and their union is exactly
+    # the single-host sample set.
+    base_spp, rem = divmod(spp, p)
+    local_spp = base_spp + (1 if rank < rem else 0)
+    sample_start = rank * base_spp + min(rank, rem)
 
-    # Local chips render this host's sample slice.  sample_start offsets the
-    # counter stream so slices are disjoint by construction.
-    from ..models.pathtracer import pick_chunk, render_chunk
-    import jax.numpy as jnp
-
+    # Render this host's sample slice over ALL its local chips (the local
+    # device mesh), not a single device.
+    local_mesh = make_mesh(jax.local_devices())
     cam = scene.camera
-    npix = cam.height * cam.width
-    chunk = pick_chunk(config, npix)
-    base = jax.random.key(seed)
-    local = np.zeros((npix, 3), dtype=np.float32)
-    for start in range(0, npix, chunk):
-        n = min(chunk, npix - start)
-        rad = render_chunk(
-            scene,
-            jnp.asarray(start, jnp.int32),
-            base,
-            jnp.asarray(rank * local_spp, jnp.int32),
-            chunk,
-            local_spp,
-            config,
-        )
-        local[start : start + n] = np.asarray(rad[:n])
+    if local_spp > 0:
+        local = render_sharded(
+            scene, local_spp, seed, config, local_mesh,
+            sample_start=sample_start,
+        ).reshape(-1, 3)
+        local = local * (local_spp / spp)  # slice mean -> weighted share
+    else:  # more hosts than samples: this host contributes nothing
+        local = np.zeros((cam.height * cam.width, 3), dtype=np.float32)
 
     # Merge host accumulators over DCN.
     from jax.experimental import multihost_utils
 
     total = multihost_utils.process_allgather(local)  # [P, npix, 3]
-    return total.mean(axis=0).reshape(cam.height, cam.width, 3)
+    return total.sum(axis=0).reshape(cam.height, cam.width, 3)
