@@ -51,17 +51,20 @@ def gen_rays(
     w, h = camera.width, camera.height
     x = (pixel_ids % w).astype(jnp.float32)
     y = (pixel_ids // w).astype(jnp.float32)
-    tx = math.tan(camera.fov_x / 2)
-    ty = math.tan(camera.fov_y / 2)
-    right = jnp.array(camera.right, dtype=jnp.float32)
-    up = jnp.array(camera.up, dtype=jnp.float32)
-    fwd = jnp.array(camera.forward, dtype=jnp.float32)
+    # Camera vectors/fov are traced DATA (scene/types.py Camera): moving the
+    # camera re-uses the compiled render.  tan(fov_y/2) == tan(fov_x/2)*h/w
+    # by the aspect derivation (src/scene.h:69-71), so no arctan round trip.
+    tx = jnp.tan(jnp.asarray(camera.fov_x, jnp.float32) / 2)
+    ty = tx * h / w
+    right = jnp.asarray(camera.right, dtype=jnp.float32)
+    up = jnp.asarray(camera.up, dtype=jnp.float32)
+    fwd = jnp.asarray(camera.forward, dtype=jnp.float32)
     cx = (2.0 * (x + offsets[:, 0]) / w - 1.0) * tx
     cy = (2.0 * (y + offsets[:, 1]) / h - 1.0) * ty
     d = normalize(cx[:, None] * right - cy[:, None] * up + fwd[None, :])
     # Derive the (constant) origin from d so it inherits d's varying-axis
     # type under shard_map (a broadcast constant would not).
-    o = d * 0.0 + jnp.array(camera.position, dtype=jnp.float32)
+    o = d * 0.0 + jnp.asarray(camera.position, dtype=jnp.float32)
     return o, d
 
 

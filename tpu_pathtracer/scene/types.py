@@ -45,40 +45,44 @@ def static_field(**kw):
     return dataclasses.field(metadata={"static": True}, **kw)
 
 
+@_register
 @dataclasses.dataclass(frozen=True)
 class Camera:
     """Pinhole camera (src/scene.h:60-72).
 
-    The whole camera is *static* under jit (it rides along as a meta field of
-    the scene pytree), so vectors are stored as hashable float tuples; they
-    get re-materialized as constants inside the traced raygen.
+    Vectors and fov are *data* fields of the scene pytree, so moving the
+    camera (``Renderer.look_at``) re-uses the jitted render functions — no
+    recompile.  Only ``width``/``height`` are static (they set array shapes;
+    resizing necessarily re-jits).
     """
 
-    width: int
-    height: int
-    position: tuple  # (x, y, z)
-    right: tuple
-    up: tuple
-    forward: tuple
-    fov_x: float
+    position: jnp.ndarray  # [3] float32
+    right: jnp.ndarray  # [3]
+    up: jnp.ndarray  # [3]
+    forward: jnp.ndarray  # [3]
+    fov_x: jnp.ndarray  # [] float32
+    width: int = static_field(default=0)
+    height: int = static_field(default=0)
 
     @staticmethod
     def create(width, height, position, right, up, forward, fov_x) -> "Camera":
-        t3 = lambda v: tuple(float(x) for x in np.asarray(v).reshape(3))
+        a3 = lambda v: jnp.asarray(
+            np.asarray(v, dtype=np.float32).reshape(3)
+        )
         return Camera(
             width=int(width),
             height=int(height),
-            position=t3(position),
-            right=t3(right),
-            up=t3(up),
-            forward=t3(forward),
-            fov_x=float(fov_x),
+            position=a3(position),
+            right=a3(right),
+            up=a3(up),
+            forward=a3(forward),
+            fov_x=jnp.asarray(float(fov_x), dtype=jnp.float32),
         )
 
     @property
-    def fov_y(self) -> float:
+    def fov_y(self):
         # src/scene.h:69-71
-        return math.atan(math.tan(self.fov_x / 2) * self.height / self.width) * 2
+        return jnp.arctan(jnp.tan(self.fov_x / 2) * self.height / self.width) * 2
 
     def with_dims(self, width: int, height: int) -> "Camera":
         return dataclasses.replace(self, width=width, height=height)
@@ -190,7 +194,7 @@ class TriangleScene:
     bg_color: jnp.ndarray  # [3]
     env_tex: jnp.ndarray  # [] int32 atlas id (TEX_WHITE when no env map)
 
-    camera: Camera = static_field(default=None)
+    camera: Camera = None  # pytree child: camera moves don't re-jit
     ray_depth: int = static_field(default=8)
     samples: int = static_field(default=1)
 
@@ -244,7 +248,7 @@ class PrimitiveScene:
 
     bg_color: jnp.ndarray  # [3]
 
-    camera: Camera = static_field(default=None)
+    camera: Camera = None  # pytree child: camera moves don't re-jit
     ray_depth: int = static_field(default=1)
     samples: Optional[int] = static_field(default=None)  # None => Whitted mode
     # True when the scene defines any light (ambient/directional/point).
