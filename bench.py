@@ -51,13 +51,15 @@ def main() -> int:
 
     config = RenderConfig(rays_per_batch=1 << 14, spp_per_pass=4)
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
+    # Textured like the real Sponza headline workload (README.md:4-5): the
+    # bilinear-fetch path carries bench load, not just the intersector.
     path = make_sphere_field_gltf(
-        os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3
+        os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3, textured=True
     )
     scene = parse_gltf_scene(path, WIDTH / HEIGHT, config)
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(WIDTH, HEIGHT))
     n_tris = int(scene.valid.sum())
-    print(f"bench scene: {n_tris} triangles, {WIDTH}x{HEIGHT} @ {SPP} spp",
+    print(f"bench scene: {n_tris} triangles (textured), {WIDTH}x{HEIGHT} @ {SPP} spp",
           file=sys.stderr)
 
     # Warm-up: one spp pass compiles the exact shapes the timed run uses.
@@ -96,7 +98,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": (
-                    f"synthetic-sponza-{n_tris//1000}k-tris Mrays/s "
+                    f"synthetic-sponza-{n_tris//1000}k-tris-textured Mrays/s "
                     f"({WIDTH}x{HEIGHT}@{SPP}spp, depth {scene.ray_depth}, "
                     f"{backend})"
                 ),

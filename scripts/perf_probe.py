@@ -73,19 +73,49 @@ def main() -> int:
                     hits=int(h.hit.sum()),
                 )
 
-    # --- full render sweep --------------------------------------------------
-    for rays, pp in ((16384, 4), (16384, 16)):
-        cfg = RenderConfig(rays_per_batch=rays, spp_per_pass=pp)
-        t0 = time.time()
-        render(scene, spp=pp, seed=0, config=cfg)
-        emit(event="compile", rays=rays, pass_spp=pp, s=round(time.time() - t0, 1))
-        t0 = time.time()
-        render(scene, spp=32, seed=1, config=cfg)
-        dt = time.time() - t0
-        emit(
-            event="render", rays=rays, pass_spp=pp, s=round(dt, 2),
-            samples_per_s=int(512 * 512 * 32 / dt),
+    # --- full render sweep: engine x texturing ------------------------------
+    tex_path = make_sphere_field_gltf(
+        "/tmp/perf_probe/field_tex.gltf", n_spheres=64, subdiv=3, textured=True
+    )
+    tex_scene = parse_gltf_scene(tex_path, 1.0)
+    tex_scene = dataclasses.replace(
+        tex_scene, camera=tex_scene.camera.with_dims(512, 512)
+    )
+    for name, sc in (("untextured", scene), ("textured", tex_scene)):
+        for compaction in (False, True):
+            cfg = RenderConfig(
+                rays_per_batch=16384, spp_per_pass=4, compaction=compaction
+            )
+            t0 = time.time()
+            render(sc, spp=4, seed=0, config=cfg)
+            emit(event="compile", scene=name, compaction=compaction,
+                 s=round(time.time() - t0, 1))
+            t0 = time.time()
+            render(sc, spp=32, seed=1, config=cfg)
+            dt = time.time() - t0
+            emit(
+                event="render", scene=name, compaction=compaction,
+                s=round(dt, 2), samples_per_s=int(512 * 512 * 32 / dt),
+            )
+
+    # --- scale validation: 820k tris (PROBE_SCALE=1) ------------------------
+    if os.environ.get("PROBE_SCALE"):
+        big_path = make_sphere_field_gltf(
+            "/tmp/perf_probe/field_big.gltf", n_spheres=160, subdiv=4
         )
+        big = parse_gltf_scene(big_path, 1.0)
+        big = dataclasses.replace(big, camera=big.camera.with_dims(512, 512))
+        emit(event="scene_big", tris=int(big.valid.sum()),
+             chunks=int(big.chunk_woop.shape[0]))
+        cfg = RenderConfig(rays_per_batch=16384, spp_per_pass=4)
+        t0 = time.time()
+        render(big, spp=4, seed=0, config=cfg)
+        emit(event="compile_big", s=round(time.time() - t0, 1))
+        t0 = time.time()
+        render(big, spp=16, seed=1, config=cfg)
+        dt = time.time() - t0
+        emit(event="render_big", s=round(dt, 2),
+             samples_per_s=int(512 * 512 * 16 / dt))
     return 0
 
 

@@ -115,3 +115,37 @@ def test_compact_grid_matches_dense_interpret():
         np.testing.assert_array_equal(
             np.asarray(comp.tri)[both], np.asarray(dense.tri)[both]
         )
+
+
+def test_two_level_activity_matches_flat_interpret():
+    """Hierarchical (super-chunk gated) activity is exactly the flat
+    activity: a chunk's AABB is inside its super AABB, so gating can never
+    drop an active chunk."""
+    import jax.numpy as jnp
+    from tpu_pathtracer.ops.pallas_intersect import (
+        tile_chunk_activity,
+        tile_chunk_activity_2level,
+    )
+
+    rng = np.random.default_rng(5)
+    c = 700  # > 4 * _SUPER and not a multiple of 128
+    lo = rng.uniform(-50, 50, (c, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.5, 6.0, (c, 3)).astype(np.float32)
+    r = 512
+    o = rng.uniform(-60, 60, (r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, np.ones((r, 1), np.float32), d, np.zeros((r, 1), np.float32)],
+        axis=1,
+    )
+    rows = jnp.asarray(np.concatenate(
+        [lo.T, hi.T, np.zeros((2, c), np.float32)], axis=0
+    ))
+    kw = dict(min_dst=1e-4, ray_tile=256, interpret=True)
+    flat = np.asarray(tile_chunk_activity(jnp.asarray(rays), rows, **kw))
+    two = np.asarray(tile_chunk_activity_2level(
+        jnp.asarray(rays), rows, jnp.asarray(lo), jnp.asarray(hi), **kw
+    ))
+    assert flat.sum() > 0
+    np.testing.assert_array_equal(two, flat)

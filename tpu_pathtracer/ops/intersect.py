@@ -195,9 +195,52 @@ def light_pdf_sum(
 
     The reference walks the emissive-only BVH visiting *every* light triangle
     the ray pierces and sums |x-y|^2 / (|<dir, n_y>| * area) terms; here the
-    light set is small and dense, so the sum is a single broadcast reduce over
-    all lights — no traversal, no divergence.  Returns sum / count.
+    sum is a broadcast reduce over all lights — no traversal, no divergence.
+    Beyond ``_LIGHT_BLOCK`` lights the reduce is blocked with a ``lax.scan``
+    so peak memory stays O(R x block) instead of O(R x L) (the many-light
+    case the reference's light BVH existed for).  Returns sum / count.
     """
+    cap = light_verts.shape[0]
+    if cap > _LIGHT_BLOCK:
+        nb = -(-cap // _LIGHT_BLOCK)
+        pad = nb * _LIGHT_BLOCK - cap
+        pv = jnp.pad(light_verts, ((0, pad), (0, 0), (0, 0)))
+        pn = jnp.pad(light_normal, ((0, pad), (0, 0)))
+        pa = jnp.pad(light_area, ((0, pad),), constant_values=1.0)
+        blocks = (
+            pv.reshape(nb, _LIGHT_BLOCK, 3, 3),
+            pn.reshape(nb, _LIGHT_BLOCK, 3),
+            pa.reshape(nb, _LIGHT_BLOCK),
+            (jnp.arange(nb * _LIGHT_BLOCK, dtype=jnp.int32)
+             .reshape(nb, _LIGHT_BLOCK)),
+        )
+
+        def block(acc, xs):
+            bv, bn, ba, bids = xs
+            s = _light_pdf_block(
+                origin, direction, bv, bn, ba,
+                (bids < light_count), min_dst,
+            )
+            return acc + s, None
+
+        total, _ = jax.lax.scan(
+            block, jnp.zeros(origin.shape[0], jnp.float32), blocks
+        )
+        return total / jnp.maximum(light_count, 1).astype(total.dtype)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    total = _light_pdf_block(
+        origin, direction, light_verts, light_normal, light_area,
+        (lane < light_count), min_dst,
+    )
+    return total / jnp.maximum(light_count, 1).astype(total.dtype)
+
+
+_LIGHT_BLOCK = 128
+
+
+def _light_pdf_block(
+    origin, direction, light_verts, light_normal, light_area, lane_ok, min_dst
+) -> jnp.ndarray:  # [R] unnormalized projection-term sum over this block
     a = light_verts[:, 0]
     av = light_verts[:, 1] - a
     au = light_verts[:, 2] - a
@@ -209,18 +252,16 @@ def light_pdf_sum(
     beta = dot(y, cross(jnp.broadcast_to(au[None], y.shape), at)) / denom
     gamma = dot(jnp.broadcast_to(av[None], y.shape), cross(y, at)) / denom
     t = dot(jnp.broadcast_to(av[None], y.shape), cross(jnp.broadcast_to(au[None], y.shape), y)) / denom
-    lane = jnp.arange(light_verts.shape[0])[None, :]
     ok = (
         (beta >= 0)
         & (gamma >= 0)
         & (beta + gamma <= 1)
         & (t >= min_dst)
-        & (lane < light_count)
+        & lane_ok[None, :]
     )
     # light_surface_projection_multiplier (src/raytracer.h:79-84):
     # |x - y|^2 = t^2 |d|^2 for y on the ray.
     dist2 = t * t * dot(d, d)
     proj = dist2 / jnp.abs(dot(jnp.broadcast_to(light_normal[None], y.shape), d))
     contrib = jnp.where(ok, proj / light_area[None], 0.0)
-    total = jnp.sum(contrib, axis=-1)
-    return total / jnp.maximum(light_count, 1).astype(total.dtype)
+    return jnp.sum(contrib, axis=-1)

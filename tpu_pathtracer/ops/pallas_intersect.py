@@ -139,6 +139,110 @@ def tile_chunk_activity(
     return jnp.any(out.reshape(t_tiles, group, c) > 0, axis=1).astype(jnp.int32)
 
 
+_SUPER = 128  # chunks per super-chunk (level-1 activity granularity)
+
+
+def _gated_activity_kernel(
+    sup_ref, rays_ref, aabb_ref, out_ref, *, min_dst, group
+):
+    """Level-2 chunk activity, gated by the level-1 super-chunk mask: grid
+    step (i, s) tests ray sub-tile i against super-chunk s's _SUPER chunk
+    AABBs only when any ray of i's parent tile entered the super AABB."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    active = sup_ref[i // group, s]
+
+    @pl.when(active == 0)
+    def _skip():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(active > 0)
+    def _body():
+        rays = rays_ref[:]  # [AT, 8]
+        aabb = aabb_ref[:]  # [8, _SUPER]
+        t_lo = None
+        t_hi = None
+        for a in range(3):
+            o = rays[:, a : a + 1]
+            inv = 1.0 / rays[:, 4 + a : 5 + a]
+            t1 = (aabb[a][None, :] - o) * inv
+            t2 = (aabb[3 + a][None, :] - o) * inv
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            t_lo = lo if t_lo is None else jnp.maximum(t_lo, lo)
+            t_hi = hi if t_hi is None else jnp.minimum(t_hi, hi)
+        hit = (t_lo <= t_hi) & (t_hi >= min_dst)
+        out_ref[:] = jnp.any(hit, axis=0).astype(jnp.int32)[None, :]
+
+
+def tile_chunk_activity_2level(
+    rays: jnp.ndarray,  # [R, 8]
+    aabb_rows: jnp.ndarray,  # [8, C]
+    chunk_min: jnp.ndarray,  # [C, 3]
+    chunk_max: jnp.ndarray,  # [C, 3]
+    min_dst: float,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [T, C] int32
+    """Hierarchical activity for Sponza+-scale chunk counts: level 1 tests
+    per-tile super-chunk AABBs (C/_SUPER columns), level 2 evaluates the
+    per-chunk slab tests only inside active super-chunks.  This keeps the
+    prepass ~O(R * C/128 + R * C_active) instead of O(R * C) — the wavefront
+    analog of descending a 2-level BVH."""
+    r = rays.shape[0]
+    c = aabb_rows.shape[1]
+    ns = -(-c // _SUPER)
+    pad = ns * _SUPER - c
+    if pad:
+        # NaN-padded AABB columns can never pass the slab test.
+        aabb_rows = jnp.concatenate(
+            [aabb_rows, jnp.full((8, pad), jnp.nan, aabb_rows.dtype)], axis=1
+        )
+        chunk_min = jnp.concatenate(
+            [chunk_min, jnp.full((pad, 3), jnp.nan, chunk_min.dtype)], axis=0
+        )
+        chunk_max = jnp.concatenate(
+            [chunk_max, jnp.full((pad, 3), jnp.nan, chunk_max.dtype)], axis=0
+        )
+    # Super AABBs: nan-aware reductions so padded chunks vanish.
+    sup_min = jnp.nanmin(chunk_min.reshape(ns, _SUPER, 3), axis=1)
+    sup_max = jnp.nanmax(chunk_max.reshape(ns, _SUPER, 3), axis=1)
+    sup_rows = jnp.concatenate(
+        [sup_min.T, sup_max.T, jnp.zeros((2, ns), sup_min.dtype)], axis=0
+    )
+    sup_act = tile_chunk_activity(rays, sup_rows, min_dst, ray_tile, interpret)
+
+    at = min(_ACT_TILE, ray_tile)
+    sub = r // at
+    group = ray_tile // at
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # sup_act [T, ns] in SMEM
+        grid=(sub, ns),
+        in_specs=[
+            pl.BlockSpec(
+                (at, 8), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, _SUPER), lambda i, s, *_: (0, s), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _SUPER), lambda i, s, *_: (i, s), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _gated_activity_kernel, min_dst=min_dst, group=group
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sub, ns * _SUPER), jnp.int32),
+        interpret=interpret,
+    )(sup_act, rays, aabb_rows)
+    t_tiles = r // ray_tile
+    act = jnp.any(out.reshape(t_tiles, group, ns * _SUPER) > 0, axis=1)
+    return act[:, :c].astype(jnp.int32)
+
+
 def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     """[T, C] 0/1 -> [T, ceil(C/32)] int32 words (SMEM-friendly mask)."""
     t_tiles, c = act.shape
@@ -184,7 +288,14 @@ def closest_hit_chunks(
     aabb_rows = jnp.concatenate(
         [chunk_min.T, chunk_max.T, jnp.zeros((2, c), chunk_min.dtype)], axis=0
     )  # [8, C]
-    active = tile_chunk_activity(rays, aabb_rows, min_dst, ray_tile, interpret)
+    if c > 4 * _SUPER:
+        # Sponza+-scale chunk counts: hierarchical activity so the prepass
+        # stops being O(R x C).
+        active = tile_chunk_activity_2level(
+            rays, aabb_rows, chunk_min, chunk_max, min_dst, ray_tile, interpret
+        )
+    else:
+        active = tile_chunk_activity(rays, aabb_rows, min_dst, ray_tile, interpret)
 
     def run_dense(active):
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -365,39 +365,89 @@ def make_sphere_field_gltf(
     subdiv: int = 3,
     seed: int = 0,
     light_strength: float = 30.0,
+    textured: bool = False,
 ) -> str:
     """Sponza-class synthetic benchmark scene: a floor, an emissive ceiling
     panel and a field of icosphere meshes with mixed materials.  Triangle
     count scales as n_spheres * 20 * 4^subdiv (64 spheres @ subdiv 3 ->
-    ~82k tris; 160 @ 4 -> ~820k)."""
+    ~82k tris; 160 @ 4 -> ~820k).  ``textured=True`` adds baseColor / MR /
+    normal textures with real UVs (equirect on spheres, tiled on the floor)
+    so the bilinear-fetch path carries bench load like the real Sponza."""
     rng = np.random.default_rng(seed)
     b = GltfBuilder()
-    floor = b.add_material((0.6, 0.6, 0.6, 1))
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    tex_kw = [{} for _ in range(4)]
+    floor_kw = {}
+    if textured:
+        # Sponza-class workloads are heavily textured (README.md:4-5, fetches
+        # at src/bvh.h:107-120): give the bench real bilinear traffic —
+        # 4 distinct 64x64 baseColor maps, one MR map, one normal map.
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        for k in range(4):
+            img = np.stack(
+                [
+                    ((xx * (k + 2) // 8 + yy // 8) % 2 * 160 + 60),
+                    (yy * (k + 1) * 3 % 256),
+                    (xx * (5 - k) * 2 % 256),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(d, f"bc{k}.png"))
+            tex_kw[k]["base_color_texture"] = b.add_texture(f"bc{k}.png")
+        mr = np.zeros((64, 64, 3), dtype=np.uint8)
+        mr[..., 1] = (yy * 4 % 256).astype(np.uint8)  # roughness G
+        mr[..., 2] = (xx * 4 % 256).astype(np.uint8)  # metallic B
+        Image.fromarray(mr).save(os.path.join(d, "mr.png"))
+        mr_tex = b.add_texture("mr.png")
+        for k in range(4):
+            tex_kw[k]["metallic_roughness_texture"] = mr_tex
+        nrm = np.full((32, 32, 3), 128, dtype=np.uint8)
+        nrm[..., 2] = 255
+        nrm[::4, :, 0] = 180  # mild bump stripes
+        Image.fromarray(nrm).save(os.path.join(d, "nrm.png"))
+        floor_kw["base_color_texture"] = tex_kw[0]["base_color_texture"]
+        floor_kw["normal_texture"] = b.add_texture("nrm.png")
+
+    floor = b.add_material((0.6, 0.6, 0.6, 1), **floor_kw)
     light = b.add_material((0, 0, 0, 1), emissive=(1, 1, 1), emissive_strength=light_strength)
 
     ext = 14.0
-    b.add_mesh(
-        *quad((-ext, 0, -ext), (ext, 0, -ext), (ext, 0, ext), (-ext, 0, ext)),
-        material=floor,
+    fq = quad((-ext, 0, -ext), (ext, 0, -ext), (ext, 0, ext), (-ext, 0, ext))
+    floor_uvs = (
+        np.array([[0, 0], [8, 0], [8, 8], [0, 8]], dtype=np.float32)
+        if textured else None
     )
+    b.add_mesh(*fq, material=floor, uvs=floor_uvs)
     b.add_mesh(
         *quad((-4, 11.5, -4), (4, 11.5, -4), (4, 11.5, 4), (-4, 11.5, 4)),
         material=light,
     )
 
     verts, faces = _icosphere(subdiv)
+    sphere_uvs = None
+    if textured:
+        # Equirect UVs from the unit sphere directions.
+        u = (np.arctan2(verts[:, 2], verts[:, 0]) / (2 * np.pi) + 0.5)
+        v = np.arccos(np.clip(verts[:, 1], -1, 1)) / np.pi
+        sphere_uvs = np.stack([u, v], axis=-1).astype(np.float32)
     for i in range(n_spheres):
         col = rng.uniform(0.2, 0.95, size=3)
         metallic = float(rng.random() < 0.35)
         rough = float(rng.uniform(0.05, 0.9))
-        mat = b.add_material((*col, 1.0), metallic=metallic, roughness=rough)
+        mat = b.add_material(
+            (*col, 1.0), metallic=metallic, roughness=rough,
+            **(tex_kw[i % 4] if textured else {}),
+        )
         radius = float(rng.uniform(0.35, 0.9))
         pos = np.array(
             [rng.uniform(-10, 10), radius + rng.uniform(0, 2.5), rng.uniform(-10, 10)]
         )
         v = verts * radius + pos
         b.add_mesh(v.astype(np.float32), faces.reshape(-1), material=mat,
-                   normals=verts.astype(np.float32))
+                   normals=verts.astype(np.float32), uvs=sphere_uvs)
     b.add_camera((0, 3.2, 13.0), yfov=0.8)
     return b.write(path)
 
