@@ -121,3 +121,29 @@ def test_env_equirect_mapping():
 
     want = np.stack([oracle(d) for d in dirs])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_many_matches_individual_samples(tmp_path):
+    """The fused 4-texture gather is bit-equal to 4 independent samples."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.scene.gltf import parse_gltf_scene
+    from tpu_pathtracer.utils.testscenes import make_textured_cornell_gltf
+
+    p = make_textured_cornell_gltf(str(tmp_path / "t.gltf"))
+    atlas = parse_gltf_scene(p, 1.0).atlas
+    rng = np.random.default_rng(3)
+    r = 257
+    k_ids = rng.integers(0, int(atlas.offset.shape[0]), size=(r, 4))
+    uv = rng.uniform(-2, 3, size=(r, 2)).astype(np.float32)
+    gammas = (2.2, 2.2, 1.0, 1.0)
+    fused = np.asarray(
+        texture.sample_many(atlas, jnp.asarray(k_ids, jnp.int32),
+                            jnp.asarray(uv), gammas)
+    )
+    for k in range(4):
+        lone = np.asarray(
+            texture.sample(atlas, jnp.asarray(k_ids[:, k], jnp.int32),
+                           jnp.asarray(uv), gammas[k], True)
+        )
+        np.testing.assert_array_equal(fused[:, k], lone)

@@ -176,13 +176,19 @@ def hit_info(
         uv = _interp(tri_uvs, hit.beta, hit.gamma)  # tex_coord_at
         tangent = normalize(_interp(tri_tangents, hit.beta, hit.gamma))
         bitangent = cross(smooth, tangent)
-        normal_loc = texture.sample_normal(scene.atlas, normal_tex, uv, True)
+        # All four material textures sample the same uv: ONE fused gather
+        # for the 16 corner texels (ops/texture.sample_many).
+        fetched = texture.sample_many(
+            scene.atlas,
+            jnp.stack([color_tex, emissive_tex, mr_tex, normal_tex], axis=1),
+            uv,
+            (2.2, 2.2, 1.0, 1.0),
+        )
+        normal_loc = normalize(fetched[:, 3, :3] * 2.0 - 1.0)  # sample_normal
         shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
-        color = base_color * texture.sample(scene.atlas, color_tex, uv, 2.2, True)
-        emission = base_emission * texture.sample(
-            scene.atlas, emissive_tex, uv, 2.2, True
-        )[:, :3]
-        mr = texture.sample(scene.atlas, mr_tex, uv, 1.0, True)
+        color = base_color * fetched[:, 0]
+        emission = base_emission * fetched[:, 1, :3]
+        mr = fetched[:, 2]
         metallic = base_metallic * mr[:, 2]  # B channel (src/geometry.h:625)
         roughness = base_roughness * mr[:, 1]  # G channel
     else:

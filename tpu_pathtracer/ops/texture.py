@@ -68,6 +68,61 @@ def sample(
     return jnp.where(single, raw, bilinear)
 
 
+def sample_many(
+    atlas: TextureAtlas,
+    tex_ids: jnp.ndarray,  # [R, K] int32 (K textures sampled at the same uv)
+    uv: jnp.ndarray,  # [R, 2]
+    gammas,  # length-K tuple of static floats
+) -> jnp.ndarray:  # [R, K, 4]
+    """Fused multi-texture bilinear fetch: all K textures' 4 corner texels
+    gathered in ONE [R, 4K] row-gather from the pool (the shade stage reads
+    baseColor/emissive/MR/normal at the same uv — 16 scattered gathers fold
+    into one, the same packing trick as ``shade_attrs``).  Bit-equal to K
+    independent ``sample`` calls."""
+    k = tex_ids.shape[1]
+    off = atlas.offset[tex_ids]  # [R, K]
+    w = atlas.width[tex_ids]
+    h = atlas.height[tex_ids]
+
+    tx = _wrap_repeat(uv[:, 0])[:, None] * w.astype(uv.dtype)
+    ty = _wrap_repeat(uv[:, 1])[:, None] * h.astype(uv.dtype)
+    px = jnp.minimum(tx.astype(jnp.int32), w - 1)
+    py = jnp.minimum(ty.astype(jnp.int32), h - 1)
+    dx = (tx - px.astype(uv.dtype))[..., None]  # [R, K, 1]
+    dy = (ty - py.astype(uv.dtype))[..., None]
+    px1 = jnp.where(px == w - 1, 0, px + 1)  # mod_inc (src/geometry.h:521-523)
+    py1 = jnp.where(py == h - 1, 0, py + 1)
+
+    idx = jnp.stack(
+        [
+            off + px + py * w,
+            off + px + py1 * w,
+            off + px1 + py * w,
+            off + px1 + py1 * w,
+        ],
+        axis=-1,
+    )  # [R, K, 4]
+    texels = atlas.texels[idx.reshape(idx.shape[0], -1)]  # ONE gather [R, 4K, 4]
+    texels = texels.reshape(idx.shape[0], k, 4, 4)  # [R, K, corner, rgba]
+
+    gam = jnp.asarray(gammas, dtype=uv.dtype)[None, :, None, None]
+    # Bit-parity with `sample`: gamma-1 textures bypass pow entirely (XLA's
+    # f32 pow(x, 1) is not guaranteed to be the identity).
+    rgb = jnp.where(
+        gam == 1.0, texels[..., :3], jnp.power(texels[..., :3], gam)
+    )
+    texels = jnp.concatenate([rgb, texels[..., 3:]], axis=-1)
+
+    c00, c01, c10, c11 = (texels[:, :, i] for i in range(4))
+    bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * (
+        (1 - dy) * c10 + dy * c11
+    )
+    # 1x1 short-circuit: raw texel, NO gamma (src/geometry.h:548-550).
+    single = ((w * h) == 1)[..., None]
+    raw = atlas.texels[off]
+    return jnp.where(single, raw, bilinear)
+
+
 def sample_normal(
     atlas: TextureAtlas,
     tex_id: jnp.ndarray,
