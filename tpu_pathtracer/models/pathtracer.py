@@ -450,8 +450,29 @@ def render_chunk_persistent(
     (pixel, sample) path takes identical draws; only the per-pixel summation
     order differs (fp reassociation noise).
     """
+    acc = persistent_accum(
+        scene, chunk_start, key, sample_start, n_rays,
+        jnp.asarray(n_rays * spp, jnp.int32), config,
+    )
+    return acc / spp
+
+
+def persistent_accum(
+    scene: TriangleScene,
+    chunk_start: jnp.ndarray,  # [] int32 first pixel id of this lane block
+    key: jax.Array,
+    sample_start: jnp.ndarray,  # [] int32 first global sample index
+    n_rays: int,  # static lane count
+    w_total: jnp.ndarray,  # [] int32 TRACED work-pool size (<= n_rays * spp);
+    #   traced so SPMD ranks with different sample counts share one program
+    config: RenderConfig,
+) -> jnp.ndarray:  # [n_rays, 3] radiance SUM over the pool's samples
+    """Core persistent-wavefront loop (see render_chunk_persistent).
+
+    Work item w covers (pixel slot w % n_rays, local sample w // n_rays);
+    callers divide the returned sum by their true spp."""
     depth_cap = scene.ray_depth
-    w_total = n_rays * spp  # work pool: sample-major (s = w // n_rays)
+    w_total = jnp.asarray(w_total, jnp.int32)
     sort_rays = scene.capacity > 1024 and n_rays >= 2048
     if sort_rays:
         scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
@@ -475,22 +496,26 @@ def render_chunk_persistent(
         o, d = gen_rays(scene.camera, pids, offs)
         return o, d, slot, s
 
-    # Initial fill: work items [0, R) = every pixel's sample 0.
+    # Initial fill: work items [0, R) = every pixel's sample 0.  All carry
+    # inits derive from the spawned rays so their shard_map varying-axis
+    # types stay consistent through the while_loop body.
     iota = jnp.arange(n_rays, dtype=jnp.int32)
     valid0 = iota < w_total
     o0, d0, slot0, s0 = spawn(iota, valid0)
+    lane0 = slot0 + (chunk_start * 0 + sample_start * 0)  # varying-typed iota base
+    alive0 = valid0 & jnp.isfinite(o0[:, 0])
     state = dict(
         o=o0,
         d=d0,
-        throughput=jnp.ones((n_rays, 3), jnp.float32),
-        radiance=jnp.zeros((n_rays, 3), jnp.float32),
-        alive=valid0,
-        active=valid0,  # lane holds a real path (alive => active)
-        slot=slot0,  # chunk-local pixel slot for the accumulator scatter
-        sample=s0,
-        depth=jnp.zeros((n_rays,), jnp.int32),
-        next_work=jnp.asarray(n_rays if n_rays < w_total else w_total, jnp.int32),
-        accum=jnp.zeros((n_rays, 3), jnp.float32),
+        throughput=o0 * 0.0 + 1.0,
+        radiance=o0 * 0.0,
+        alive=alive0,
+        active=alive0,  # lane holds a real path (alive => active)
+        slot=lane0,  # chunk-local pixel slot for the accumulator scatter
+        sample=s0 + lane0 * 0,
+        depth=lane0 * 0,
+        next_work=jnp.minimum(jnp.asarray(n_rays, jnp.int32), w_total),
+        accum=o0 * 0.0,
     )
 
     def cond(st):
@@ -566,7 +591,7 @@ def render_chunk_persistent(
         )
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["accum"] / spp
+    return state["accum"]
 
 
 @partial(jax.jit, static_argnames=("n_rays", "spp", "config"))

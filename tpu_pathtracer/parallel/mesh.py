@@ -76,6 +76,31 @@ def render_pass_sharded(
     def shard_body(scene_rep: TriangleScene, chunk_start, key, sample_start):
         ray_idx = jax.lax.axis_index("rays")
         spp_idx = jax.lax.axis_index("spp")
+
+        if config.compaction:
+            # Persistent-wavefront engine per rank: same compaction the
+            # single-device path gets.  Each rank's work pool covers its own
+            # sample slice; the pool size is a TRACED scalar, so ranks with
+            # different remainder counts share one SPMD program (the
+            # while_loop body has no collectives — trip counts may differ).
+            from ..models.pathtracer import persistent_accum
+
+            rank_start = jax.lax.pcast(
+                chunk_start + ray_idx * n_local, ("spp",), to="varying"
+            )
+            my_count = jnp.clip(spp - spp_idx * spp_local, 0, spp_local)
+            my_count = jax.lax.pcast(my_count, ("rays",), to="varying")
+            acc = persistent_accum(
+                scene_rep,
+                rank_start,
+                key,
+                sample_start + spp_idx * spp_local,
+                n_local,
+                n_local * my_count,
+                config,
+            )
+            return jax.lax.psum(acc, "spp") / spp
+
         pixel_ids = chunk_start + ray_idx * n_local + jnp.arange(n_local)
         # Mark the per-device ids as varying over the whole mesh so every
         # derived scan carry has a consistent varying-axis type (pcast only
