@@ -66,6 +66,12 @@ class RenderConfig:
     # checkpointable between passes (the reference had no checkpointing).
     spp_per_pass: int = 16
 
+    # Failed device executions (worker crash, preemption) are repaired by
+    # recomputing the affected pixel chunk — counter-based RNG makes every
+    # chunk a pure function of (scene, seed, range), so recovery is exact
+    # (SURVEY §5 failure-detection contract).  0 disables.
+    failure_retries: int = 2
+
     # Wavefront engine: True = persistent wavefront with path regeneration
     # (true stream compaction: dead lanes refill with fresh samples each
     # iteration, ~100% lane occupancy); False = fixed scan over ray_depth

@@ -690,9 +690,9 @@ def render(
                 print(f"{done_tiles}/{n_tiles}     \r", end="", file=sys.stderr)
                 done_tiles += 1
             todo = min(pass_spp, spp - s0)
-            engine = render_chunk_persistent if config.compaction else render_chunk
+            eng = render_chunk_persistent if config.compaction else render_chunk
             with phase("dispatch"):  # trace+compile on first call, then enqueue
-                rad = engine(
+                rad = eng(
                     scene,
                     jnp.asarray(start, jnp.int32),
                     base,
@@ -704,8 +704,40 @@ def render(
                 contrib = rad * float(todo)
                 acc = contrib if acc is None else acc + contrib
         pending.append((start, n, acc))
+    engine = render_chunk_persistent if config.compaction else render_chunk
+
+    def recompute_chunk(start):
+        """Failure recovery (SURVEY §5): per-pixel counter RNG makes any
+        chunk a pure function of (scene, start, seed, spp), so a crashed
+        device execution is repaired by recomputing just that chunk —
+        sample-for-sample identical to the uninterrupted render."""
+        acc = None
+        for s0 in range(0, spp, pass_spp):
+            todo = min(pass_spp, spp - s0)
+            rad = engine(
+                scene, jnp.asarray(start, jnp.int32), base,
+                jnp.asarray(s0, jnp.int32), chunk, todo, config,
+            )
+            contrib = rad * float(todo)
+            acc = contrib if acc is None else acc + contrib
+        return acc
+
     for start, n, acc in pending:
-        with phase("device_wait_readback"):
-            host = np.asarray(acc[:n])
+        for attempt in range(config.failure_retries + 1):
+            try:
+                with phase("device_wait_readback"):
+                    host = np.asarray(acc[:n])
+                break
+            except Exception:  # device/runtime crash surfaced at readback
+                if attempt == config.failure_retries:
+                    raise
+                import sys
+
+                print(
+                    f"chunk {start}: device execution failed, retrying "
+                    f"({attempt + 1}/{config.failure_retries})",
+                    file=sys.stderr,
+                )
+                acc = recompute_chunk(start)
         out[start : start + n] = host / spp
     return out.reshape(h, w, 3)
