@@ -91,17 +91,21 @@ def _read_scanline(buf: np.ndarray, pos: int, out: np.ndarray) -> int:
                     x += n
                     pos += 1 + n
         return pos
-    # Flat scanline (possibly with old-style runs: 1,1,1,count).
+    # Flat scanline (possibly with old-style runs: 1,1,1,count — consecutive
+    # run records scale by 256 each, per the Radiance spec's shift rule).
     x = 0
+    shift = 0
     while x < w:
         px = buf[pos : pos + 4]
         if px[0] == 1 and px[1] == 1 and px[2] == 1:
-            count = int(px[3])
+            count = int(px[3]) << shift
             out[x : x + count] = out[x - 1]
             x += count
+            shift += 8
         else:
             out[x] = px
             x += 1
+            shift = 0
         pos += 4
     return pos
 
