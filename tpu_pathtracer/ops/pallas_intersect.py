@@ -57,7 +57,8 @@ def _kernel(active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst):
     @pl.when(bit > 0)
     def _body():
         rays = rays_ref[:]  # [RT, 8] = (o, 1, d, 0)
-        w = wc_ref[0]  # [12, CHUNK_TRIS]
+        w = wc_ref[0]  # [12, chunk width]
+        cw = w.shape[-1]
         o1 = rays[:, 0:4]
         d0 = rays[:, 4:8]
 
@@ -81,7 +82,7 @@ def _kernel(active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst):
         better = chunk_min < cur
         tmin_ref[:] = jnp.where(better, chunk_min, cur)
         tidx_ref[:] = jnp.where(
-            better, j * CHUNK_TRIS + chunk_arg[:, None], tidx_ref[:]
+            better, j * cw + chunk_arg[:, None], tidx_ref[:]
         )
 
 
@@ -307,7 +308,7 @@ def closest_hit_chunks(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 12, CHUNK_TRIS), lambda i, j, *_: (j, 0, 0),
+                    (1, 12, chunk_woop.shape[-1]), lambda i, j, *_: (j, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -388,6 +389,7 @@ def _compact_kernel(idx_ref, cnt_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, m
     def _body():
         rays = rays_ref[:]
         w = wc_ref[0]
+        cw = w.shape[-1]
         o1 = rays[:, 0:4]
         d0 = rays[:, 4:8]
 
@@ -411,7 +413,7 @@ def _compact_kernel(idx_ref, cnt_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, m
         j_chunk = idx_ref[i, s]
         tmin_ref[:] = jnp.where(better, chunk_min, cur)
         tidx_ref[:] = jnp.where(
-            better, j_chunk * CHUNK_TRIS + chunk_arg[:, None], tidx_ref[:]
+            better, j_chunk * cw + chunk_arg[:, None], tidx_ref[:]
         )
 
 
@@ -438,7 +440,7 @@ def _run_compact(
                 (ray_tile, 8), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 12, CHUNK_TRIS),
+                (1, 12, chunk_woop.shape[-1]),
                 lambda i, s, idx_ref, cnt_ref: (idx_ref[i, s], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -493,15 +495,17 @@ def ray_sort_key(
     return jnp.where(alive, key, jnp.int32(1 << 20))
 
 
-def build_chunk_woop(woop_cols: np.ndarray) -> np.ndarray:
-    """[4, 3N] -> [C, 12, CHUNK_TRIS] chunk blocks (row = 4*comp + coef)."""
+def build_chunk_woop(
+    woop_cols: np.ndarray, chunk_tris: int = CHUNK_TRIS
+) -> np.ndarray:
+    """[4, 3N] -> [C, 12, chunk_tris] chunk blocks (row = 4*comp + coef)."""
     four, n3 = woop_cols.shape
     n = n3 // 3
-    pad = (-n) % CHUNK_TRIS
+    pad = (-n) % chunk_tris
     w = woop_cols.reshape(4, n, 3)
     if pad:
         w = np.concatenate([w, np.full((4, pad, 3), np.nan, w.dtype)], axis=1)
         n += pad
-    c = n // CHUNK_TRIS
-    w = np.transpose(w, (2, 0, 1)).reshape(12, c, CHUNK_TRIS)
+    c = n // chunk_tris
+    w = np.transpose(w, (2, 0, 1)).reshape(12, c, chunk_tris)
     return np.ascontiguousarray(np.transpose(w, (1, 0, 2)).astype(np.float32))
