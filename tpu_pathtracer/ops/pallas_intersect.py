@@ -147,15 +147,21 @@ def _gated_activity_kernel(
     sup_ref, rays_ref, aabb_ref, out_ref, *, min_dst, group
 ):
     """Level-2 chunk activity, gated by the level-1 super-chunk mask: grid
-    step (i, s) tests ray sub-tile i against super-chunk s's _SUPER chunk
-    AABBs only when any ray of i's parent tile entered the super AABB."""
-    i = pl.program_id(0)
-    s = pl.program_id(1)
+    step (s, i) tests ray sub-tile i against super-chunk s's _SUPER chunk
+    AABBs only when any ray of i's parent tile entered the super AABB.
+
+    Grid order is (s outer, i inner) so the (sub, _SUPER) output block —
+    indexed by s alone — stays resident in VMEM while every row i is
+    written, then flushes complete.  (A per-row output block is not
+    lowerable, and revisiting an output block after it flushed clobbers
+    rows: Pallas output buffers don't reload on block switch.)"""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
     active = sup_ref[i // group, s]
 
     @pl.when(active == 0)
     def _skip():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[i, :] = jnp.zeros((out_ref.shape[-1],), jnp.int32)
 
     @pl.when(active > 0)
     def _body():
@@ -173,7 +179,7 @@ def _gated_activity_kernel(
             t_lo = lo if t_lo is None else jnp.maximum(t_lo, lo)
             t_hi = hi if t_hi is None else jnp.minimum(t_hi, hi)
         hit = (t_lo <= t_hi) & (t_hi >= min_dst)
-        out_ref[:] = jnp.any(hit, axis=0).astype(jnp.int32)[None, :]
+        out_ref[i, :] = jnp.any(hit, axis=0).astype(jnp.int32)
 
 
 def tile_chunk_activity_2level(
@@ -218,17 +224,17 @@ def tile_chunk_activity_2level(
     group = ray_tile // at
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sup_act [T, ns] in SMEM
-        grid=(sub, ns),
+        grid=(ns, sub),
         in_specs=[
             pl.BlockSpec(
-                (at, 8), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+                (at, 8), lambda s, i, *_: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (8, _SUPER), lambda i, s, *_: (0, s), memory_space=pltpu.VMEM
+                (8, _SUPER), lambda s, i, *_: (0, s), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _SUPER), lambda i, s, *_: (i, s), memory_space=pltpu.VMEM
+            (sub, _SUPER), lambda s, i, *_: (0, s), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
