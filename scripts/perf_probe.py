@@ -108,16 +108,21 @@ def main() -> int:
         return (jnp.asarray(blocks), jnp.asarray(cmin.astype(np.float32)),
                 jnp.asarray(cmax.astype(np.float32)))
 
+    groups = (
+        (None,)
+        if not os.environ.get("PROBE_GROUPS")
+        else (8, 16, 32)
+    )
     for cw in widths:
         cwoop, cmin, cmax = chunk_arrays(cw)
         for tile in tiles:
-            for compact in (False, True):
+            for grp in groups:
                 for name, (oo, dd) in cases.items():
                     f = jax.jit(
-                        lambda oo, dd, tile=tile, compact=compact, cwoop=cwoop,
+                        lambda oo, dd, tile=tile, grp=grp, cwoop=cwoop,
                         cmin=cmin, cmax=cmax: closest_hit_chunks(
                             oo, dd, cwoop, cmin, cmax, scene.woop, 1e-4,
-                            ray_tile=tile, compact=compact,
+                            ray_tile=tile, group=grp,
                         )
                     )
                     h = f(oo, dd)
@@ -128,7 +133,7 @@ def main() -> int:
                     jax.block_until_ready(h)
                     emit(
                         event="kernel", ray_tile=tile, chunk_tris=cw,
-                        compact=compact, rays=name,
+                        group=grp, rays=name,
                         ms=round((time.time() - t0) / 8 * 1000, 2),
                         hits=int(h.hit.sum()),
                     )

@@ -237,7 +237,7 @@ def _mc_trace(scene, origin, direction, key, pixel_ids, eps):
         radiance = radiance + jnp.where(live[:, None], throughput * emission, 0.0)
 
         # Diffuse: cosine bounce; cos/pi pdf cancels albedo/pi * cos -> albedo.
-        diff_dir = cosine_sample(n, draws[:, 0], draws[:, 1])
+        diff_dir = cosine_sample(n, draws[0], draws[1])
         # Metallic: mirror.
         mirr_dir = normalize(reflect(n, d))
         # Dielectric: reflect with prob fr else refract.
@@ -245,7 +245,7 @@ def _mc_trace(scene, origin, direction, key, pixel_ids, eps):
         eta = jnp.where(hit.inside, ior, 1.0 / ior)
         refr_dir, tir = _refract(d, n, eta, cos_i)
         fr = jnp.where(tir, 1.0, _schlick(cos_i, ior))
-        choose_refl = draws[:, 2] <= fr
+        choose_refl = draws[2] <= fr
         diel_dir = where3(choose_refl, mirr_dir, refr_dir)
 
         is_diff = mat == MAT_DIFFUSE
@@ -286,7 +286,7 @@ def _mc_trace(scene, origin, direction, key, pixel_ids, eps):
 def _render_chunk(scene, chunk_start, key, n_rays, spp, config, mc):
     pixel_ids = chunk_start + jnp.arange(n_rays)
     if not mc:
-        half = jnp.full((n_rays, 2), 0.5, jnp.float32)
+        half = jnp.full((2, n_rays), 0.5, jnp.float32)
         o, d = gen_rays(scene.camera, pixel_ids, half)
         return _whitted_trace(scene, o, d, scene.ray_depth, config.eps)
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import bsdf, sampling, texture
 from ..ops.intersect import Hit, closest_hit, light_pdf_sum
+from ..ops.rng import JITTER_DEPTH, lane_uniforms
 from ..ops.traverse import closest_hit_leaves
 from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
 from ..scene.types import Camera, TriangleScene
@@ -47,7 +48,9 @@ _DRAWS = 10
 def gen_rays(
     camera: Camera, pixel_ids: jnp.ndarray, offsets: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jittered pinhole rays (gen_ray, src/raytracer.h:527-538)."""
+    """Jittered pinhole rays (gen_ray, src/raytracer.h:527-538).
+
+    ``offsets``: [2, R] per-pixel jitter (lane-major draw layout)."""
     w, h = camera.width, camera.height
     x = (pixel_ids % w).astype(jnp.float32)
     y = (pixel_ids // w).astype(jnp.float32)
@@ -59,8 +62,8 @@ def gen_rays(
     right = jnp.asarray(camera.right, dtype=jnp.float32)
     up = jnp.asarray(camera.up, dtype=jnp.float32)
     fwd = jnp.asarray(camera.forward, dtype=jnp.float32)
-    cx = (2.0 * (x + offsets[:, 0]) / w - 1.0) * tx
-    cy = (2.0 * (y + offsets[:, 1]) / h - 1.0) * ty
+    cx = (2.0 * (x + offsets[0]) / w - 1.0) * tx
+    cy = (2.0 * (y + offsets[1]) / h - 1.0) * ty
     d = normalize(cx[:, None] * right - cy[:, None] * up + fwd[None, :])
     # Derive the (constant) origin from d so it inherits d's varying-axis
     # type under shard_map (a broadcast constant would not).
@@ -70,19 +73,17 @@ def gen_rays(
 
 def per_pixel_uniforms(
     key: jax.Array, pixel_ids: jnp.ndarray, n_draws: int
-) -> jnp.ndarray:
+) -> jnp.ndarray:  # [n_draws, R]
     """U[0,1) draws keyed per *pixel*, not per batch.
 
     This is the TPU replacement for the reference's per-span LCG seeding
-    (src/raytracer.h:648): because every ray's stream is
-    fold_in(stage_key, pixel_id), the result is bit-identical for ANY batch
-    split or device sharding — the property the reference gets per-span, we
-    get per-pixel, which makes sharded rendering reproducible and resumable.
+    (src/raytracer.h:648): every ray's stream is a counter-mode threefry
+    block keyed on (stage key, pixel_id), so the result is bit-identical for
+    ANY batch split or device sharding — the property the reference gets
+    per-span, we get per-pixel, which makes sharded rendering reproducible
+    and resumable.  See ops/rng.py for the lane-major layout rationale.
     """
-    keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_ids)
-    return jax.vmap(lambda k: jax.random.uniform(k, (n_draws,), dtype=jnp.float32))(
-        keys
-    )
+    return lane_uniforms(key, 0, 0, pixel_ids, n_draws)
 
 
 def scene_closest_hit(
@@ -219,7 +220,7 @@ def bounce_step(
     throughput: jnp.ndarray,  # [R, 3]
     radiance: jnp.ndarray,  # [R, 3]
     alive: jnp.ndarray,  # [R] bool
-    draws: jnp.ndarray,  # [R, _DRAWS] U[0,1)
+    draws: jnp.ndarray,  # [_DRAWS, R] U[0,1) (lane-major, see ops/rng.py)
 ):
     """One wavefront bounce: the full masked-select form of ``shade``
     (src/raytracer.h:555-591) over R lanes.  Shared by the scan engine
@@ -250,7 +251,7 @@ def bounce_step(
 
     # Alpha transparency Russian roulette (src/raytracer.h:558-561):
     # coin(alpha) FAILS with prob 1-alpha -> continue same direction.
-    alpha_pass = draws[:, 0] > info["color"][:, 3]
+    alpha_pass = draws[0] > info["color"][:, 3]
     passthrough = live & alpha_pass
     shade = live & ~alpha_pass
 
@@ -260,20 +261,20 @@ def bounce_step(
 
     # --- direction sampling -------------------------------------------
     alpha_r2 = jnp.maximum(info["roughness"], config.min_roughness) ** 2
-    use_vndf = draws[:, 1] <= vf
+    use_vndf = draws[1] <= vf
     vndf_dir = sampling.vndf_sample(
-        alpha_r2, d, info["shading_normal"], draws[:, 2], draws[:, 3]
+        alpha_r2, d, info["shading_normal"], draws[2], draws[3]
     )
-    cos_dir = sampling.cosine_sample(info["normal"], draws[:, 5], draws[:, 6])
+    cos_dir = sampling.cosine_sample(info["normal"], draws[5], draws[6])
     if has_light_rows:
         n_lights = lights.count
-        pick_light = (sampling.pick_uniform(draws[:, 4], jnp.asarray(2)) == 1) & (
+        pick_light = (sampling.pick_uniform(draws[4], jnp.asarray(2)) == 1) & (
             n_lights > 0
         )
-        li = sampling.pick_uniform(draws[:, 7], n_lights)
+        li = sampling.pick_uniform(draws[7], n_lights)
         lv = lights.verts[li]  # [R, 3, 3]
         light_dir = sampling.light_triangle_sample(
-            pos, lv[:, 0], lv[:, 1], lv[:, 2], draws[:, 8], draws[:, 9]
+            pos, lv[:, 0], lv[:, 1], lv[:, 2], draws[8], draws[9]
         )
         mix_dir = where3(pick_light, light_dir, cos_dir)
     else:
@@ -325,9 +326,10 @@ def trace(
     scene: TriangleScene,
     origin: jnp.ndarray,  # [R, 3]
     direction: jnp.ndarray,  # [R, 3]
-    key: jax.Array,
+    key: jax.Array,  # BASE render key (not stage-folded)
     pixel_ids: jnp.ndarray,  # [R] int32 (keys the per-ray RNG streams)
     config: RenderConfig,
+    sample: jnp.ndarray | int = 0,  # [] global sample index of this pass
 ) -> jnp.ndarray:  # [R, 3] radiance (NOT NaN-sanitized; caller does that)
     """One full path per input ray: scan over ray_depth wavefront bounces."""
     r = origin.shape[0]
@@ -350,8 +352,7 @@ def trace(
                 o[perm], d[perm], throughput[perm], radiance[perm],
                 alive[perm], pids[perm], slot[perm],
             )
-        k = jax.random.fold_in(key, bounce_idx)
-        draws = per_pixel_uniforms(k, pids, _DRAWS)
+        draws = lane_uniforms(key, sample, bounce_idx, pids, _DRAWS)
         o, d, throughput, radiance, alive = bounce_step(
             scene, config, o, d, throughput, radiance, alive, draws
         )
@@ -404,26 +405,6 @@ def sanitize_nans(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(color), 0.0, color)
 
 
-def _lane_uniforms(
-    key: jax.Array,
-    sample_ids: jnp.ndarray,  # [R] int32
-    depths: jnp.ndarray,  # [R] int32
-    pixel_ids: jnp.ndarray,  # [R] int32
-    n_draws: int,
-) -> jnp.ndarray:
-    """Per-lane draws for heterogeneous (sample, depth) lanes.
-
-    Composes fold_in(fold_in(fold_in(base, sample), depth), pixel) — the
-    exact key chain render_chunk/trace/per_pixel_uniforms build — so the
-    persistent engine consumes bit-identical uniforms to the scan engine for
-    every (pixel, sample, depth) triple."""
-    def one(s, b, p):
-        k = jax.random.fold_in(jax.random.fold_in(jax.random.fold_in(key, s), b), p)
-        return jax.random.uniform(k, (n_draws,), dtype=jnp.float32)
-
-    return jax.vmap(one)(sample_ids, depths, pixel_ids)
-
-
 @partial(jax.jit, static_argnames=("n_rays", "spp", "config"))
 def render_chunk_persistent(
     scene: TriangleScene,
@@ -445,10 +426,11 @@ def render_chunk_persistent(
     occupancy stays ~100% until the work pool drains, so the total iteration
     count approaches W·E[path length]/R instead of spp·ray_depth.
 
-    Estimator-identical to render_chunk: per-lane RNG keys compose
-    (sample, depth, pixel) exactly like the scan chain, so every
-    (pixel, sample) path takes identical draws; only the per-pixel summation
-    order differs (fp reassociation noise).
+    Estimator-identical to render_chunk: per-lane draws are the same pure
+    function of (seed, pixel, sample, depth) counter-mode stream the scan
+    engine consumes (ops/rng.py), so every (pixel, sample) path takes
+    identical draws; only the per-pixel summation order differs (fp
+    reassociation noise).
     """
     acc = persistent_accum(
         scene, chunk_start, key, sample_start, n_rays,
@@ -484,15 +466,9 @@ def persistent_accum(
         slot = (w % n_rays).astype(jnp.int32)
         s = (w // n_rays).astype(jnp.int32)
         pids = chunk_start + slot
-        # Pixel-jitter draws: fold chain fold_in(fold_in(key, s), JITTER) then
-        # per-pixel — identical to render_chunk's offsets.
-        def jitter(s_i, p_i):
-            k = jax.random.fold_in(
-                jax.random.fold_in(jax.random.fold_in(key, s_i), 0x7FFFFFFF), p_i
-            )
-            return jax.random.uniform(k, (2,), dtype=jnp.float32)
-
-        offs = jax.vmap(jitter)(sample_start + s, pids)
+        # Pixel-jitter draws: the JITTER_DEPTH stream of (pixel, sample) —
+        # identical to render_chunk's offsets.
+        offs = lane_uniforms(key, sample_start + s, JITTER_DEPTH, pids, 2)
         o, d = gen_rays(scene.camera, pids, offs)
         return o, d, slot, s
 
@@ -538,7 +514,7 @@ def persistent_accum(
                 depth[perm],
             )
 
-        draws = _lane_uniforms(
+        draws = lane_uniforms(
             key, sample_start + sample, depth, chunk_start + slot, _DRAWS
         )
         o, d, throughput, radiance, alive2 = bounce_step(
@@ -609,13 +585,11 @@ def render_chunk(
     pixel_ids = chunk_start + jnp.arange(n_rays)
 
     def body(s, acc):
-        k = jax.random.fold_in(key, sample_start + s)
-        # Pixel-jitter draws use a fold index no bounce can reach.
-        offsets = per_pixel_uniforms(
-            jax.random.fold_in(k, 0x7FFFFFFF), pixel_ids, 2
-        )
+        gs = sample_start + s
+        # Pixel-jitter draws use a depth id no bounce can reach.
+        offsets = lane_uniforms(key, gs, JITTER_DEPTH, pixel_ids, 2)
         o, d = gen_rays(scene.camera, pixel_ids, offsets)
-        rad = trace(scene, o, d, k, pixel_ids, config)
+        rad = trace(scene, o, d, key, pixel_ids, config, sample=gs)
         return acc + sanitize_nans(rad)
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((n_rays, 3), jnp.float32))

@@ -31,7 +31,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
-from ..models.pathtracer import gen_rays, per_pixel_uniforms, sanitize_nans, trace
+from ..models.pathtracer import gen_rays, sanitize_nans, trace
+from ..ops.rng import JITTER_DEPTH, lane_uniforms
 from ..scene.types import TriangleScene
 
 
@@ -110,12 +111,9 @@ def render_pass_sharded(
         def body(s, acc):
             rel_s = spp_idx * spp_local + s
             global_s = sample_start + rel_s
-            k = jax.random.fold_in(key, global_s)
-            offsets = per_pixel_uniforms(
-                jax.random.fold_in(k, 0x7FFFFFFF), pixel_ids, 2
-            )
+            offsets = lane_uniforms(key, global_s, JITTER_DEPTH, pixel_ids, 2)
             o, d = gen_rays(scene_rep.camera, pixel_ids, offsets)
-            rad = trace(scene_rep, o, d, k, pixel_ids, config)
+            rad = trace(scene_rep, o, d, key, pixel_ids, config, sample=global_s)
             rad = jnp.where(rel_s < spp, sanitize_nans(rad), 0.0)
             return acc + rad
 
