@@ -49,7 +49,9 @@ def main() -> int:
     from tpu_pathtracer.models.pathtracer import render
     from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
 
-    config = RenderConfig(rays_per_batch=1 << 14, spp_per_pass=4)
+    # On-chip sweep winner (scripts/probe_render.py): 64k-ray wavefronts,
+    # whole-bench-spp passes (4 dispatches total at 512^2@32spp).
+    config = RenderConfig(rays_per_batch=1 << 16, spp_per_pass=32)
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
     # Textured like the real Sponza headline workload (README.md:4-5): the
     # bilinear-fetch path carries bench load, not just the intersector.

@@ -53,19 +53,26 @@ def _pick_group(n_chunks: int) -> int:
     return 8
 
 
-def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst, col_blocks):
-    """Per-tile chunk-AABB slab test: one grid step per ray tile, chunk
-    columns processed in 128-wide blocks, everything resident in VMEM.
-    out[i, c] = 1 iff any ray of tile i enters chunk c's AABB."""
-    del col_blocks
-    i = pl.program_id(0)
+_ACT_COLS = 512  # chunk columns per activity grid step (bounds vreg stack)
+
+
+def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
+    """Per-tile chunk-AABB slab test, fused in VMEM: grid step (b, i) tests
+    ray tile i against chunk-column block b.  The column block is the OUTER
+    grid dim so the (t_tiles, _ACT_COLS) output block — indexed by b alone —
+    stays resident while every tile row i is written, then flushes complete.
+    out[i, c] = 1 iff any ray of tile i enters chunk c's AABB.
+
+    (A single whole-width step was tried first: at Sponza+ chunk counts its
+    [RT, cpad] intermediates overflow the 16 MB VMEM vector stack.)"""
+    i = pl.program_id(1)
     rays = rays_ref[:]  # [RT, 8]
     t_lo = None
     t_hi = None
     for a in range(3):
         o = rays[:, a : a + 1]
         inv = 1.0 / rays[:, 4 + a : 5 + a]
-        t1 = (aabb_ref[a, :][None, :] - o) * inv  # [RT, cpad]
+        t1 = (aabb_ref[a, :][None, :] - o) * inv  # [RT, _ACT_COLS]
         t2 = (aabb_ref[3 + a, :][None, :] - o) * inv
         lo = jnp.minimum(t1, t2)
         hi = jnp.maximum(t1, t2)
@@ -86,7 +93,7 @@ def tile_chunk_activity(
     r = rays.shape[0]
     c = chunk_min.shape[0]
     t_tiles = r // ray_tile
-    cpad = -(-c // 128) * 128
+    cpad = -(-c // _ACT_COLS) * _ACT_COLS
     pad = cpad - c
     if pad:
         # NaN-padded AABB columns can never pass the slab test.
@@ -101,19 +108,18 @@ def tile_chunk_activity(
         axis=0,
     )  # [8, cpad]
     out = pl.pallas_call(
-        functools.partial(
-            _activity_kernel, min_dst=min_dst, col_blocks=cpad // 128
-        ),
-        grid=(t_tiles,),
+        functools.partial(_activity_kernel, min_dst=min_dst),
+        grid=(cpad // _ACT_COLS, t_tiles),
         in_specs=[
             pl.BlockSpec(
-                (ray_tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (ray_tile, 8), lambda b, i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, _ACT_COLS), lambda b, i: (0, b), memory_space=pltpu.VMEM
+            ),
         ],
-        # Whole-array output block: each grid step row-writes its own tile.
         out_specs=pl.BlockSpec(
-            (t_tiles, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (t_tiles, _ACT_COLS), lambda b, i: (0, b), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((t_tiles, cpad), jnp.int32),
         interpret=interpret,
@@ -306,26 +312,32 @@ def ray_sort_key(
     scene_lo: jnp.ndarray,  # [3]
     scene_hi: jnp.ndarray,  # [3]
 ) -> jnp.ndarray:  # [R] int32
-    """Coherence key for wavefront ray sorting: direction octant (3 bits) x
-    origin cell in an 8^3 grid over the scene bounds (9 bits).  Rays sorted
-    by this key land in tiles whose chunk-activity unions approach the
-    per-ray minimum; dead rays sort last so their tiles skip every chunk.
-    """
-    # 2 bits per direction axis (64 bins: octant + per-axis magnitude).
-    def dbits(x):
-        return (x > 0).astype(jnp.int32) * 2 + (jnp.abs(x) > 0.55).astype(
-            jnp.int32
-        )
-
-    dir_bin = dbits(direction[:, 0]) * 16 + dbits(direction[:, 1]) * 4 + dbits(
-        direction[:, 2]
+    """Coherence key for wavefront ray sorting: direction octant (3 bits,
+    major) x Morton-interleaved origin cell in a 16^3 grid over the scene
+    bounds (12 bits).  Rays sorted by this key land in tiles whose
+    chunk-activity unions approach the per-ray minimum — Morton cell order
+    keeps a tile's origins in one compact spatial blob, matching the
+    Morton-ordered chunk layout; dead rays sort last so their tiles skip
+    every chunk."""
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
     )
     ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
     cell = jnp.clip(
-        ((origin - scene_lo) / ext * 8.0).astype(jnp.int32), 0, 7
+        ((origin - scene_lo) / ext * 16.0).astype(jnp.int32), 0, 15
     )
-    cell_id = cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
-    key = dir_bin * 512 + cell_id
+
+    def spread4(x):  # 4 bits -> every 3rd bit (abcd -> a__b__c__d)
+        x = (x | (x << 4)) & 0x0C3
+        x = (x | (x << 2)) & 0x249
+        return x
+
+    morton = (
+        spread4(cell[:, 0]) * 4 + spread4(cell[:, 1]) * 2 + spread4(cell[:, 2])
+    )
+    key = octant * 4096 + morton
     return jnp.where(alive, key, jnp.int32(1 << 20))
 
 
