@@ -62,7 +62,7 @@ def main() -> int:
     scene = parse_gltf_scene(path, 1.0)
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(512, 512))
     config = RenderConfig()
-    r = 16384
+    r = int(os.environ.get("PROBE_R", "16384"))
 
     pix = jnp.arange(r) + 300 * 512
     offs = per_pixel_uniforms(jax.random.key(0), pix, 2)

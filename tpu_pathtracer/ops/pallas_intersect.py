@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import Hit, _PRECISION
 
 RAY_TILE = 512  # rays per grid tile
+_SORT_CELLS = 16  # sort-key origin grid resolution per axis
 CHUNK_TRIS = 128  # triangles per chunk (= 8 leaves of 16)
 
 
@@ -140,7 +141,10 @@ def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
 
 
-def _kernel(active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst, group):
+def _kernel(
+    active_ref, dma_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst, group
+):
+    del dma_ref  # consumed by the wc block index map only
     i = pl.program_id(0)
     jg = pl.program_id(1)
 
@@ -246,9 +250,27 @@ def closest_hit_chunks(
     active = tile_chunk_activity(
         rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
     )
+    # DMA-elision index: a step whose whole group is inactive re-requests
+    # the most recent ACTIVE group's block — Pallas skips the fetch when the
+    # block index repeats, so fully-skipped steps cost no HBM traffic.
+    act_pad = cg * group - active.shape[1]
+    act_full = (
+        jnp.concatenate(
+            [active, jnp.zeros((t_tiles, act_pad), active.dtype)], axis=1
+        )
+        if act_pad
+        else active
+    )
+    group_act = jnp.any(act_full.reshape(t_tiles, cg, group) > 0, axis=2)
+    seq = jnp.where(
+        group_act, jax.lax.broadcasted_iota(jnp.int32, (t_tiles, cg), 1), -1
+    )
+    dma_idx = jnp.maximum(
+        jax.lax.associative_scan(jnp.maximum, seq, axis=1), 0
+    ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the bit-packed activity mask, in SMEM
+        num_scalar_prefetch=2,  # bit-packed activity mask + DMA index, SMEM
         grid=(t_tiles, cg),
         in_specs=[
             pl.BlockSpec(
@@ -257,7 +279,7 @@ def closest_hit_chunks(
             ),
             pl.BlockSpec(
                 (group, 12, chunk_woop.shape[-1]),
-                lambda i, j, *_: (j, 0, 0),
+                lambda i, j, bits_ref, dma_ref: (dma_ref[i, j], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -280,7 +302,7 @@ def closest_hit_chunks(
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(_bitpack(active), rays, chunk_woop)
+    )(_bitpack(active), dma_idx, rays, chunk_woop)
 
     t_best = t_best[:, 0]
     tri = tri[:, 0]
@@ -325,19 +347,21 @@ def ray_sort_key(
         + (direction[:, 2] > 0).astype(jnp.int32)
     )
     ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
+    nc = float(_SORT_CELLS)
     cell = jnp.clip(
-        ((origin - scene_lo) / ext * 16.0).astype(jnp.int32), 0, 15
+        ((origin - scene_lo) / ext * nc).astype(jnp.int32), 0, _SORT_CELLS - 1
     )
 
-    def spread4(x):  # 4 bits -> every 3rd bit (abcd -> a__b__c__d)
-        x = (x | (x << 4)) & 0x0C3
-        x = (x | (x << 2)) & 0x249
+    def spread(x):  # up to 8 bits -> every 3rd bit (Morton)
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
         return x
 
     morton = (
-        spread4(cell[:, 0]) * 4 + spread4(cell[:, 1]) * 2 + spread4(cell[:, 2])
+        spread(cell[:, 0]) * 4 + spread(cell[:, 1]) * 2 + spread(cell[:, 2])
     )
-    key = octant * 4096 + morton
+    key = octant * (_SORT_CELLS ** 3) + morton
     return jnp.where(alive, key, jnp.int32(1 << 20))
 
 
