@@ -150,3 +150,46 @@ def test_group_kernel_matches_dense_oracle():
     np.testing.assert_allclose(
         np.asarray(pk.t)[both], np.asarray(dense.t)[both], rtol=1e-5, atol=1e-6
     )
+
+
+def test_compact_worklist_matches_dense_interpret():
+    """The compact group-worklist grid (auto-enabled at high group counts)
+    must agree exactly with the dense grid — both the genuinely compacted
+    path (localized rays, few active groups) and the overflow fallback
+    (wide rays piercing everything)."""
+    verts, valid = _scene(16000, seed=11, spread=20.0)  # 128 chunks
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+    assert cw.shape[0] >= 96
+
+    rng = np.random.default_rng(12)
+    r = 256
+    kw = dict(min_dst=EPS, ray_tile=128, interpret=True)
+
+    target = verts[valid][0, 0]
+    o1 = (target + rng.normal(scale=0.5, size=(r, 3))).astype(np.float32)
+    o2 = rng.uniform(-22, 22, size=(r, 3)).astype(np.float32)
+    for o in (o1, o2):
+        d = rng.normal(size=(r, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # group=1 -> cg=128 >= 96: compact worklist; group=2 -> cg=64: dense.
+        comp = closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+            jnp.asarray(cmax), jnp.asarray(woop), group=1, **kw,
+        )
+        dense = closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+            jnp.asarray(cmax), jnp.asarray(woop), group=2, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.hit), np.asarray(comp.hit)
+        )
+        both = np.asarray(dense.hit)
+        np.testing.assert_array_equal(
+            np.asarray(comp.tri)[both], np.asarray(dense.tri)[both]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(comp.t)[both], np.asarray(dense.t)[both]
+        )

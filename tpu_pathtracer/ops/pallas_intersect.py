@@ -141,6 +141,37 @@ def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
 
 
+def _chunk_body(
+    o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst
+):
+    """Woop test of one 128-triangle chunk against the tile, min-accumulated
+    into the VMEM-resident outputs.  Shared by the dense and compact grids."""
+    w = wc_ref[g]  # [12, CHUNK_TRIS]
+    cw = w.shape[-1]
+
+    def contract(x, r0):
+        return jnp.dot(
+            x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
+            precision=_PRECISION,
+        )
+
+    p0, p1, p2 = contract(o1, 0), contract(o1, 4), contract(o1, 8)
+    q0, q1, q2 = contract(d0, 0), contract(d0, 4), contract(d0, 8)
+    t = -p2 / q2
+    beta = p0 + t * q0
+    gamma = p1 + t * q1
+    ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= min_dst)
+    t_m = jnp.where(ok, t, jnp.inf)
+    chunk_min = jnp.min(t_m, axis=1, keepdims=True)  # [RT, 1]
+    chunk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)  # [RT]
+    cur = tmin_ref[:]
+    better = chunk_min < cur
+    tmin_ref[:] = jnp.where(better, chunk_min, cur)
+    tidx_ref[:] = jnp.where(
+        better, j * cw + chunk_arg[:, None], tidx_ref[:]
+    )
+
+
 def _kernel(
     active_ref, dma_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst, group
 ):
@@ -169,32 +200,39 @@ def _kernel(
 
         @pl.when(bit > 0)
         def _chunk(g=g, j=j):
-            w = wc_ref[g]  # [12, CHUNK_TRIS]
-            cw = w.shape[-1]
+            _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst)
 
-            def contract(x, r0):
-                return jnp.dot(
-                    x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
-                    precision=_PRECISION,
-                )
 
-            p0, p1, p2 = contract(o1, 0), contract(o1, 4), contract(o1, 8)
-            q0, q1, q2 = contract(d0, 0), contract(d0, 4), contract(d0, 8)
-            t = -p2 / q2
-            beta = p0 + t * q0
-            gamma = p1 + t * q1
-            ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (
-                t >= min_dst
-            )
-            t_m = jnp.where(ok, t, jnp.inf)
-            chunk_min = jnp.min(t_m, axis=1, keepdims=True)  # [RT, 1]
-            chunk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)  # [RT]
-            cur = tmin_ref[:]
-            better = chunk_min < cur
-            tmin_ref[:] = jnp.where(better, chunk_min, cur)
-            tidx_ref[:] = jnp.where(
-                better, j * cw + chunk_arg[:, None], tidx_ref[:]
-            )
+def _kernel_compact(
+    active_ref, idx_ref, cnt_ref, rays_ref, wc_ref, tmin_ref, tidx_ref,
+    *, min_dst, group
+):
+    """Compacted grid: slot s of tile i processes the s-th ACTIVE chunk
+    GROUP (idx_ref[i, s]); the group block DMA is indexed through the
+    prefetched id, so big mostly-inactive scenes stop paying the dense
+    (tile, group) grid's fixed per-step cost."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
+        tidx_ref[:] = jnp.zeros_like(tidx_ref)
+
+    rays = rays_ref[:]  # [RT, 8]
+    o1 = rays[:, 0:4]
+    d0 = rays[:, 4:8]
+    live = s < cnt_ref[i, 0]
+    jg = idx_ref[i, s]
+
+    for g in range(group):
+        j = jg * group + g
+        word = active_ref[i, j // 32]
+        bit = (word >> (j % 32)) & 1
+
+        @pl.when(live & (bit > 0))
+        def _chunk(g=g, j=j):
+            _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst)
 
 
 @functools.partial(
@@ -269,40 +307,103 @@ def closest_hit_chunks(
         jax.lax.associative_scan(jnp.maximum, seq, axis=1), 0
     ).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # bit-packed activity mask + DMA index, SMEM
-        grid=(t_tiles, cg),
-        in_specs=[
-            pl.BlockSpec(
-                (ray_tile, 8), lambda i, j, *_: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (group, 12, chunk_woop.shape[-1]),
-                lambda i, j, bits_ref, dma_ref: (dma_ref[i, j], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (ray_tile, 1), lambda i, j, *_: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (ray_tile, 1), lambda i, j, *_: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+    bits = _bitpack(active)
+    out_shape = [
+        jax.ShapeDtypeStruct((r, 1), jnp.float32),
+        jax.ShapeDtypeStruct((r, 1), jnp.int32),
+    ]
+    wc_spec = lambda index_map: pl.BlockSpec(
+        (group, 12, chunk_woop.shape[-1]), index_map, memory_space=pltpu.VMEM
     )
-    t_best, tri = pl.pallas_call(
-        functools.partial(_kernel, min_dst=min_dst, group=group),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((r, 1), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(_bitpack(active), dma_idx, rays, chunk_woop)
+    ray_spec = pl.BlockSpec(
+        (ray_tile, 8), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+
+    def run_dense(_idx, _counts):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # bit-packed activity mask + DMA idx
+            grid=(t_tiles, cg),
+            in_specs=[
+                ray_spec,
+                wc_spec(lambda i, j, bits_ref, dma_ref: (dma_ref[i, j], 0, 0)),
+            ],
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, min_dst=min_dst, group=group),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bits, dma_idx, rays, chunk_woop)
+
+    # Compact worklist: big mostly-inactive scenes (Sponza+: hundreds of
+    # groups, ~10-20% active per sorted tile) waste most dense-grid steps.
+    # Slot s of tile i processes its s-th active group, with a global
+    # dense fallback if any tile overflows the static cap.
+    cap = min(cg, max(8, -(-cg // 3)))
+    use_compact = cg >= 96
+
+    def run_compact(idx, counts):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # chunk bits + group ids + counts
+            grid=(t_tiles, cap),
+            in_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 8), lambda i, s, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                wc_spec(
+                    lambda i, s, bits_ref, idx_ref, cnt_ref: (
+                        idx_ref[i, s], 0, 0
+                    )
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda i, s, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda i, s, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_compact, min_dst=min_dst, group=group),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bits, idx, counts, rays, chunk_woop)
+
+    if use_compact:
+        counts = jnp.sum(group_act.astype(jnp.int32), axis=1)
+        # Active group ids first (ascending), then inactive ones.
+        order_key = (1 - group_act.astype(jnp.int32)) * cg + jax.lax.broadcasted_iota(
+            jnp.int32, (t_tiles, cg), 1
+        )
+        idx = jnp.argsort(order_key, axis=1)[:, :cap].astype(jnp.int32)
+        # Past-count slots repeat the last active id so their block DMA is
+        # elided (their chunk bits are only read under `live`).
+        last = jnp.take_along_axis(
+            idx, jnp.maximum(counts - 1, 0)[:, None], axis=1
+        )
+        pos = jax.lax.broadcasted_iota(jnp.int32, (t_tiles, cap), 1)
+        idx = jnp.where(pos < counts[:, None], idx, last)
+        overflow = jnp.any(counts > cap)
+        t_best, tri = jax.lax.cond(
+            overflow, run_dense, run_compact, idx, counts[:, None]
+        )
+    else:
+        t_best, tri = run_dense(None, None)
 
     t_best = t_best[:, 0]
     tri = tri[:, 0]
