@@ -56,6 +56,13 @@ def _pick_group(n_chunks: int) -> int:
 
 _ACT_COLS = 512  # chunk columns per activity grid step (bounds vreg stack)
 
+# Compact-worklist tuning (read at trace time; env overridable for probes).
+import os as _os
+
+_COMPACT_MIN_CG = int(_os.environ.get("TPU_PT_COMPACT_MIN_CG", "96"))
+_COMPACT_CAP_NUM = int(_os.environ.get("TPU_PT_COMPACT_CAP_NUM", "1"))
+_COMPACT_CAP_DEN = int(_os.environ.get("TPU_PT_COMPACT_CAP_DEN", "3"))
+
 
 def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
     """Per-tile chunk-AABB slab test, fused in VMEM: grid step (b, i) tests
@@ -173,9 +180,8 @@ def _chunk_body(
 
 
 def _kernel(
-    active_ref, dma_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst, group
+    active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst, group
 ):
-    del dma_ref  # consumed by the wc block index map only
     i = pl.program_id(0)
     jg = pl.program_id(1)
 
@@ -288,9 +294,6 @@ def closest_hit_chunks(
     active = tile_chunk_activity(
         rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
     )
-    # DMA-elision index: a step whose whole group is inactive re-requests
-    # the most recent ACTIVE group's block — Pallas skips the fetch when the
-    # block index repeats, so fully-skipped steps cost no HBM traffic.
     act_pad = cg * group - active.shape[1]
     act_full = (
         jnp.concatenate(
@@ -300,12 +303,6 @@ def closest_hit_chunks(
         else active
     )
     group_act = jnp.any(act_full.reshape(t_tiles, cg, group) > 0, axis=2)
-    seq = jnp.where(
-        group_act, jax.lax.broadcasted_iota(jnp.int32, (t_tiles, cg), 1), -1
-    )
-    dma_idx = jnp.maximum(
-        jax.lax.associative_scan(jnp.maximum, seq, axis=1), 0
-    ).astype(jnp.int32)
 
     bits = _bitpack(active)
     out_shape = [
@@ -329,11 +326,11 @@ def closest_hit_chunks(
 
     def run_dense(_idx, _counts):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # bit-packed activity mask + DMA idx
+            num_scalar_prefetch=1,  # the bit-packed activity mask, in SMEM
             grid=(t_tiles, cg),
             in_specs=[
                 ray_spec,
-                wc_spec(lambda i, j, bits_ref, dma_ref: (dma_ref[i, j], 0, 0)),
+                wc_spec(lambda i, j, *_: (j, 0, 0)),
             ],
             out_specs=out_specs,
         )
@@ -342,14 +339,14 @@ def closest_hit_chunks(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(bits, dma_idx, rays, chunk_woop)
+        )(bits, rays, chunk_woop)
 
     # Compact worklist: big mostly-inactive scenes (Sponza+: hundreds of
     # groups, ~10-20% active per sorted tile) waste most dense-grid steps.
     # Slot s of tile i processes its s-th active group, with a global
     # dense fallback if any tile overflows the static cap.
-    cap = min(cg, max(8, -(-cg // 3)))
-    use_compact = cg >= 96
+    cap = min(cg, max(8, -(-cg * _COMPACT_CAP_NUM // _COMPACT_CAP_DEN)))
+    use_compact = cg >= _COMPACT_MIN_CG
 
     def run_compact(idx, counts):
         grid_spec = pltpu.PrefetchScalarGridSpec(
