@@ -241,13 +241,13 @@ def bounce_step(
 
     hit = scene_closest_hit(scene, o, d, eps)
 
-    if scene.atlas.offset.shape[0] > 2 and config.use_textures:
+    if scene.has_env and config.use_textures:
         env = texture.env_radiance(
             scene.atlas, scene.env_tex, scene.bg_color, d, True
         )
     else:
-        # No env texture in the atlas: bg_at degenerates to bg_color
-        # (white 1x1 sample — src/scene.h:83-89 with WHITE_TEXTURE).
+        # No env map loaded: bg_at degenerates to bg_color (white 1x1
+        # sample — src/scene.h:83-89 with WHITE_TEXTURE).
         env = jnp.broadcast_to(scene.bg_color, d.shape)
     miss = alive & ~hit.hit
     radiance = radiance + jnp.where(miss[:, None], throughput * env, 0.0)

@@ -595,4 +595,5 @@ def _pack_triangle_scene(
         camera=acc.camera,
         ray_depth=config.default_ray_depth,
         samples=1,
+        has_env=env_tex != T.TEX_WHITE,
     )

@@ -197,6 +197,10 @@ class TriangleScene:
     camera: Camera = None  # pytree child: camera moves don't re-jit
     ray_depth: int = static_field(default=8)
     samples: int = static_field(default=1)
+    # Static "an env map was loaded" bit: without it, textured scenes would
+    # pay the equirect bilinear gather every bounce just to sample the 1x1
+    # white default (bg_at with WHITE_TEXTURE, src/scene.h:83-89).
+    has_env: bool = static_field(default=False)
 
     @property
     def capacity(self) -> int:
