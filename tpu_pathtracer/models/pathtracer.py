@@ -39,6 +39,12 @@ from ..ops.traverse import closest_hit_leaves
 from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
 from ..scene.types import Camera, TriangleScene
 
+# Chunk count past which the Pallas intersector uses 256-ray tiles (see
+# scene_closest_hit); env-overridable for on-chip A/B probes.
+import os as _os
+
+_NARROW_TILE_CHUNKS = int(_os.environ.get("TPU_PT_NARROW_TILE_CHUNKS", "2048"))
+
 # Uniform draws consumed per ray per bounce (fixed-shape wavefront layout):
 # 0 alpha coin | 1 vndf coin | 2,3 vndf | 4 mixture pick | 5,6 cosine
 # 7 light pick | 8,9 light point
@@ -112,7 +118,7 @@ def scene_closest_hit(
         # -35%, sorted secondaries -7% vs 512); 512 stays optimal at
         # course-scene scale.  128 would exceed the 1 MB SMEM prefetch
         # budget at Sponza+ group counts.
-        tile = 256 if scene.chunk_woop.shape[0] > 2048 else RAY_TILE
+        tile = 256 if scene.chunk_woop.shape[0] > _NARROW_TILE_CHUNKS else RAY_TILE
         return closest_hit_chunks(
             origin,
             direction,
