@@ -42,6 +42,7 @@ from .intersect import Hit, _PRECISION
 
 RAY_TILE = 512  # rays per grid tile
 _SORT_CELLS = 16  # sort-key origin grid resolution per axis
+_SORT_DIR_FINE = bool(int(__import__("os").environ.get("TPU_PT_SORT_DIR_FINE", "0")))
 CHUNK_TRIS = 128  # triangles per chunk (= 8 leaves of 16)
 
 
@@ -439,11 +440,24 @@ def ray_sort_key(
     keeps a tile's origins in one compact spatial blob, matching the
     Morton-ordered chunk layout; dead rays sort last so their tiles skip
     every chunk."""
-    octant = (
-        (direction[:, 0] > 0).astype(jnp.int32) * 4
-        + (direction[:, 1] > 0).astype(jnp.int32) * 2
-        + (direction[:, 2] > 0).astype(jnp.int32)
-    )
+    if _SORT_DIR_FINE:
+        # 2 bits per axis: sign + dominant-magnitude (64 direction bins).
+        def dbits(x):
+            return (x > 0).astype(jnp.int32) * 2 + (
+                jnp.abs(x) > 0.55
+            ).astype(jnp.int32)
+
+        octant = (
+            dbits(direction[:, 0]) * 16
+            + dbits(direction[:, 1]) * 4
+            + dbits(direction[:, 2])
+        )
+    else:
+        octant = (
+            (direction[:, 0] > 0).astype(jnp.int32) * 4
+            + (direction[:, 1] > 0).astype(jnp.int32) * 2
+            + (direction[:, 2] > 0).astype(jnp.int32)
+        )
     ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
     nc = float(_SORT_CELLS)
     cell = jnp.clip(
