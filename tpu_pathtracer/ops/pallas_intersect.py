@@ -31,6 +31,7 @@ SIMD-with-predication model executes well.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,7 @@ from .intersect import Hit, _PRECISION
 
 RAY_TILE = 512  # rays per grid tile
 _SORT_CELLS = 16  # sort-key origin grid resolution per axis
-_SORT_DIR_FINE = bool(int(__import__("os").environ.get("TPU_PT_SORT_DIR_FINE", "0")))
+_SORT_DIR_FINE = bool(int(os.environ.get("TPU_PT_SORT_DIR_FINE", "0")))
 CHUNK_TRIS = 128  # triangles per chunk (= 8 leaves of 16)
 
 
@@ -58,11 +59,9 @@ def _pick_group(n_chunks: int) -> int:
 _ACT_COLS = 512  # chunk columns per activity grid step (bounds vreg stack)
 
 # Compact-worklist tuning (read at trace time; env overridable for probes).
-import os as _os
-
-_COMPACT_MIN_CG = int(_os.environ.get("TPU_PT_COMPACT_MIN_CG", "96"))
-_COMPACT_CAP_NUM = int(_os.environ.get("TPU_PT_COMPACT_CAP_NUM", "1"))
-_COMPACT_CAP_DEN = int(_os.environ.get("TPU_PT_COMPACT_CAP_DEN", "3"))
+_COMPACT_MIN_CG = int(os.environ.get("TPU_PT_COMPACT_MIN_CG", "96"))
+_COMPACT_CAP_NUM = int(os.environ.get("TPU_PT_COMPACT_CAP_NUM", "1"))
+_COMPACT_CAP_DEN = int(os.environ.get("TPU_PT_COMPACT_CAP_DEN", "3"))
 
 
 def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
@@ -80,7 +79,14 @@ def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
     t_hi = None
     for a in range(3):
         o = rays[:, a : a + 1]
-        inv = 1.0 / rays[:, 4 + a : 5 + a]
+        d = rays[:, 4 + a : 5 + a]
+        # Robust against d == 0 with the origin exactly on an AABB plane
+        # (secondary rays spawn ON surfaces whose chunk AABB planes pass
+        # through them): 1/0 = inf makes 0 * inf = NaN, which would falsely
+        # CULL the chunk.  A huge finite inverse keeps the select
+        # conservative: inside the slab the interval covers everything,
+        # outside it stays empty, on-plane gives t = 0 instead of NaN.
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
         t1 = (aabb_ref[a, :][None, :] - o) * inv  # [RT, _ACT_COLS]
         t2 = (aabb_ref[3 + a, :][None, :] - o) * inv
         lo = jnp.minimum(t1, t2)
@@ -292,19 +298,11 @@ def closest_hit_chunks(
         ],
         axis=1,
     )  # [R, 8]
+    # chunk_min was padded to cg*group rows above, so active has exactly
+    # cg*group columns.
     active = tile_chunk_activity(
         rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
     )
-    act_pad = cg * group - active.shape[1]
-    act_full = (
-        jnp.concatenate(
-            [active, jnp.zeros((t_tiles, act_pad), active.dtype)], axis=1
-        )
-        if act_pad
-        else active
-    )
-    group_act = jnp.any(act_full.reshape(t_tiles, cg, group) > 0, axis=2)
-
     bits = _bitpack(active)
     out_shape = [
         jax.ShapeDtypeStruct((r, 1), jnp.float32),
@@ -354,26 +352,14 @@ def closest_hit_chunks(
             num_scalar_prefetch=3,  # chunk bits + group ids + counts
             grid=(t_tiles, cap),
             in_specs=[
-                pl.BlockSpec(
-                    (ray_tile, 8), lambda i, s, *_: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                ray_spec,
                 wc_spec(
                     lambda i, s, bits_ref, idx_ref, cnt_ref: (
                         idx_ref[i, s], 0, 0
                     )
                 ),
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (ray_tile, 1), lambda i, s, *_: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (ray_tile, 1), lambda i, s, *_: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            out_specs=out_specs,
         )
         return pl.pallas_call(
             functools.partial(_kernel_compact, min_dst=min_dst, group=group),
@@ -383,6 +369,9 @@ def closest_hit_chunks(
         )(bits, idx, counts, rays, chunk_woop)
 
     if use_compact:
+        group_act = jnp.any(
+            active.reshape(t_tiles, cg, group) > 0, axis=2
+        )
         counts = jnp.sum(group_act.astype(jnp.int32), axis=1)
         # Active group ids first (ascending), then inactive ones.
         order_key = (1 - group_act.astype(jnp.int32)) * cg + jax.lax.broadcasted_iota(
