@@ -193,3 +193,47 @@ def test_compact_worklist_matches_dense_interpret():
         np.testing.assert_array_equal(
             np.asarray(comp.t)[both], np.asarray(dense.t)[both]
         )
+
+
+def test_activity_on_plane_zero_direction_component():
+    """Regression: a ray whose origin lies exactly ON a chunk-AABB plane
+    with a zero direction component along that axis must still activate the
+    chunk (0 * inf = NaN in the slab test used to cull it falsely).
+
+    Axis-aligned wall geometry puts chunk AABB planes exactly through the
+    surfaces secondary rays spawn on, so this is a real configuration, not
+    a pathological one."""
+    # A floor quad in the z=0 plane plus a TILTED wall triangle in the same
+    # chunk: the chunk AABB's min-z plane (z=0) passes exactly through the
+    # ray origin, and the real hit is on the tilted triangle.
+    verts = np.zeros((16, 3, 3))
+    verts[:] = 1e30
+    verts[0] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    verts[1] = [[1, 0, 0], [1, 1, 0], [0, 1, 0]]
+    verts[2] = [[2, -5, -0.0], [2, 5, -0.0], [3, 0.25, 5.0]]
+    valid = np.zeros(16, bool)
+    valid[:3] = True
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+    assert float(cmin[0][2]) == 0.0  # the chunk min-z plane IS z=0... or -0
+    r = 128
+    # Origin exactly on the chunk's min-z plane, direction with d.z == 0,
+    # aimed at the tilted triangle.
+    o = np.tile(np.array([-0.5, 0.25, 0.0], np.float32), (r, 1))
+    d = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (r, 1))
+
+    hit = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), EPS, ray_tile=128,
+        interpret=True,
+    )
+    dense = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(woop), EPS)
+    # The dense oracle hits the tilted triangle; the chunked kernel must not
+    # lose it to a NaN-culled activity bit (0 * inf on the on-plane axis).
+    assert np.asarray(dense.hit).all()
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(dense.hit))
+    np.testing.assert_allclose(
+        np.asarray(hit.t), np.asarray(dense.t), rtol=1e-5
+    )
