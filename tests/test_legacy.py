@@ -70,6 +70,19 @@ def test_practice5_mc_converges():
 
 
 @needs_ref
+def test_whitted_deep_depth():
+    """RAY_DEPTH beyond the default stack floor must not be silently
+    truncated: the stack is sized from the scene (depth + 1 slots), so a
+    depth-16 render runs and is converged vs depth-20 (practice2's actual
+    reflect/refract chains die out well before 16 via the weight cutoff)."""
+    p = os.path.join(REF_SAMPLES, "homebrew_primitives", "practice2.txt")
+    a = _render(p, 48, 27, ray_depth=16)
+    b = _render(p, 48, 27, ray_depth=20)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@needs_ref
 def test_whitted_deterministic():
     p = os.path.join(REF_SAMPLES, "scene-002.txt")
     a = _render(p, 32, 24)

@@ -24,9 +24,11 @@ from .config import DEFAULT_CONFIG, RenderConfig
 
 
 def _strtol(s: str) -> int:
-    """std::strtol semantics: parse the leading integer, 0 if none
-    (src/main.cpp:23-25)."""
+    """std::strtol semantics: skip leading whitespace, parse the leading
+    integer, 0 if none (src/main.cpp:23-25)."""
     i = 0
+    while i < len(s) and s[i] in " \t\n\v\f\r":
+        i += 1
     if i < len(s) and s[i] in "+-":
         i += 1
     j = i

@@ -94,8 +94,10 @@ def _direct_light(scene: PrimitiveScene, pos, normal, eps):
     return total
 
 
-# Whitted DFS stack capacity: a two-way split tree of depth d needs at most
-# d + 1 pending entries per ray.  Weight cutoff prunes negligible subtrees.
+# Whitted DFS minimum stack capacity: a two-way split tree of depth d needs
+# at most d + 1 pending entries per ray, so the stack is sized from the
+# scene's actual ray depth (no silent truncation for deep scenes).  Weight
+# cutoff prunes negligible subtrees.
 _WHITTED_STACK = 12
 _WHITTED_CUTOFF = 1e-4
 
@@ -110,8 +112,7 @@ def _whitted_trace(scene, origin, direction, depth, eps):
     in the graph, runtime adapting to each pixel's actual branching.
     """
     r = origin.shape[0]
-    depth = min(depth, _WHITTED_STACK - 1)
-    c = _WHITTED_STACK
+    c = max(_WHITTED_STACK, depth + 1)
 
     st_o = jnp.zeros((r, c, 3)).at[:, 0].set(origin)
     st_d = jnp.zeros((r, c, 3)).at[:, 0].set(direction)
