@@ -84,21 +84,21 @@ def main() -> int:
         )
     )
     for name, (oo, dd) in (("primary", (o, d)), ("incoherent", (o2, d2))):
-        a = act_f(oo, dd)
+        a, _ent = act_f(oo, dd)
         emit(
             part="activity", rays=name, ms=round(bench(act_f, oo, dd) - base, 2),
             frac_active=round(float(jnp.mean(a.astype(jnp.float32))), 3),
         )
-        for grp in (8, 16, 32):
+        for mode in ("dense", "twopass"):
             f = jax.jit(
-                lambda oo, dd, grp=grp: closest_hit_chunks(
+                lambda oo, dd, mode=mode: closest_hit_chunks(
                     oo, dd, scene.chunk_woop, scene.chunk_aabb_min,
-                    scene.chunk_aabb_max, scene.woop, 1e-4, group=grp,
+                    scene.chunk_aabb_max, scene.woop, 1e-4, mode=mode,
                 )
             )
             h = f(oo, dd)
             emit(
-                part="full", rays=name, group=grp,
+                part="full", rays=name, mode=mode,
                 ms=round(bench(f, oo, dd) - base, 2), hits=int(h.hit.sum()),
             )
     return 0

@@ -152,11 +152,12 @@ def test_group_kernel_matches_dense_oracle():
     )
 
 
-def test_compact_worklist_matches_dense_interpret():
-    """The compact group-worklist grid (auto-enabled at high group counts)
-    must agree exactly with the dense grid — both the genuinely compacted
-    path (localized rays, few active groups) and the overflow fallback
-    (wide rays piercing everything)."""
+def test_twopass_matches_dense_interpret():
+    """The two-pass front-to-back worklist grid (current-best-t cutoff +
+    residual recheck) must agree exactly with the dense bit-gated grid —
+    both on localized rays (tight worklists, pass 2 nearly empty) and on
+    wide rays piercing everything (pass-1 truncation + large residual
+    buckets)."""
     verts, valid = _scene(16000, seed=11, spread=20.0)  # 128 chunks
     woop = build_woop(verts, valid)
     lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
@@ -171,28 +172,32 @@ def test_compact_worklist_matches_dense_interpret():
     target = verts[valid][0, 0]
     o1 = (target + rng.normal(scale=0.5, size=(r, 3))).astype(np.float32)
     o2 = rng.uniform(-22, 22, size=(r, 3)).astype(np.float32)
+    # group=1 -> cg=128 (deep worklists, pass-1 cap truncates); group=2 ->
+    # cg=64 (bucketed residual caps differ).  Both against the dense oracle.
     for o in (o1, o2):
         d = rng.normal(size=(r, 3)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        # group=1 -> cg=128 >= 96: compact worklist; group=2 -> cg=64: dense.
-        comp = closest_hit_chunks(
-            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
-            jnp.asarray(cmax), jnp.asarray(woop), group=1, **kw,
-        )
-        dense = closest_hit_chunks(
-            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
-            jnp.asarray(cmax), jnp.asarray(woop), group=2, **kw,
-        )
-        np.testing.assert_array_equal(
-            np.asarray(dense.hit), np.asarray(comp.hit)
-        )
-        both = np.asarray(dense.hit)
-        np.testing.assert_array_equal(
-            np.asarray(comp.tri)[both], np.asarray(dense.tri)[both]
-        )
-        np.testing.assert_array_equal(
-            np.asarray(comp.t)[both], np.asarray(dense.t)[both]
-        )
+        for g in (1, 2):
+            two = closest_hit_chunks(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
+                jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
+                group=g, mode="twopass", **kw,
+            )
+            dense = closest_hit_chunks(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
+                jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
+                group=g, mode="dense", **kw,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dense.hit), np.asarray(two.hit)
+            )
+            both = np.asarray(dense.hit)
+            np.testing.assert_array_equal(
+                np.asarray(two.tri)[both], np.asarray(dense.tri)[both]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(two.t)[both], np.asarray(dense.t)[both]
+            )
 
 
 def test_activity_on_plane_zero_direction_component():

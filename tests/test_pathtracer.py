@@ -60,6 +60,27 @@ def test_persistent_engine_matches_scan(tmp_path):
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
 
 
+def test_measured_rays_stats(tmp_path):
+    """render(stats=...) reports the TRUE rays traced by the persistent
+    engine: at least one ray per executed (lane, sample) work item, at most
+    ray_depth of them, and exactly zero extra beyond the padded work pool."""
+    from tpu_pathtracer.models.pathtracer import pick_chunk
+
+    scene = _load(make_cornell_gltf, tmp_path, 16, 16)
+    config = RenderConfig(compaction=True)
+    spp = 4
+    stats = {}
+    img = render(scene, spp=spp, seed=0, config=config, stats=stats)
+    assert np.isfinite(img).all()
+    n = stats["measured_rays"]
+    # The pixel chunk is padded up to the Pallas ray tile; padded lanes
+    # trace real work items too (their results are discarded on readback).
+    lanes = pick_chunk(config, 16 * 16)
+    assert lanes * spp <= n <= lanes * spp * scene.ray_depth
+    # Cornell is mostly enclosed: typical paths bounce more than once.
+    assert n > int(1.5 * lanes * spp)
+
+
 def test_persistent_engine_sample_start(tmp_path):
     """sample_start routes through the persistent engine's work pool: the
     [0,2) + [2,4) splits average to the [0,4) render."""
@@ -75,9 +96,9 @@ def test_persistent_engine_sample_start(tmp_path):
         scene, jnp.asarray(0, jnp.int32), base, jnp.asarray(s0, jnp.int32),
         64, spp, config,
     )
-    lo = np.asarray(render_chunk_persistent(*args(0, 2)))
-    hi = np.asarray(render_chunk_persistent(*args(2, 2)))
-    both = np.asarray(render_chunk_persistent(*args(0, 4)))
+    lo = np.asarray(render_chunk_persistent(*args(0, 2))[0])
+    hi = np.asarray(render_chunk_persistent(*args(2, 2))[0])
+    both = np.asarray(render_chunk_persistent(*args(0, 4))[0])
     np.testing.assert_allclose((lo + hi) / 2, both, rtol=0, atol=1e-5)
 
 
@@ -230,11 +251,11 @@ def test_chunk_retry_recovers_exactly(tmp_path, monkeypatch):
     state = {"first": True}
 
     def flaky_engine(*args, **kw):
-        out = engine(*args, **kw)
+        rad, nb = engine(*args, **kw)
         if state["first"]:
             state["first"] = False
-            return Bomb(out)
-        return out
+            return Bomb(rad), nb
+        return rad, nb
 
     monkeypatch.setattr(pt, "render_chunk_persistent", flaky_engine)
     got = render(scene, spp=3, seed=4)

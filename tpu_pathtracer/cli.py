@@ -63,9 +63,10 @@ def render_scene_file(
         )
         t_load = time.perf_counter() - t0
         t1 = time.perf_counter()
+        run_stats: dict = {}
         hdr = render(
             scene, spp=samples, seed=seed, config=config, progress=progress,
-            timer=timer,
+            timer=timer, stats=run_stats,
         )
         depth = scene.ray_depth
     else:
@@ -82,6 +83,7 @@ def render_scene_file(
         t1 = time.perf_counter()
         hdr = render_homebrew(scene, seed=seed, config=config)
         depth = scene.ray_depth
+        run_stats = {}
     t_render = time.perf_counter() - t1
 
     metrics = RenderMetrics(
@@ -91,6 +93,7 @@ def render_scene_file(
         ray_depth=depth,
         load_seconds=t_load,
         render_seconds=t_render,
+        measured_rays=run_stats.get("measured_rays"),
     )
     return hdr, metrics
 

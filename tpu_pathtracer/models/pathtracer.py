@@ -444,12 +444,17 @@ def render_chunk_persistent(
     engine consumes (ops/rng.py), so every (pixel, sample) path takes
     identical draws; only the per-pixel summation order differs (fp
     reassociation noise).
+
+    Returns (mean radiance [n_rays, 3], measured bounce-ray count []) — the
+    counter is the number of live lanes entering each bounce, i.e. the TRUE
+    rays traced (the reference's derived Mrays range assumed 4-8 bounces per
+    path, BASELINE.md; this removes the convention).
     """
-    acc = persistent_accum(
+    acc, n_bounce = persistent_accum(
         scene, chunk_start, key, sample_start, n_rays,
         jnp.asarray(n_rays * spp, jnp.int32), config,
     )
-    return acc / spp
+    return acc / spp, n_bounce
 
 
 def persistent_accum(
@@ -461,7 +466,7 @@ def persistent_accum(
     w_total: jnp.ndarray,  # [] int32 TRACED work-pool size (<= n_rays * spp);
     #   traced so SPMD ranks with different sample counts share one program
     config: RenderConfig,
-) -> jnp.ndarray:  # [n_rays, 3] radiance SUM over the pool's samples
+):  # ([n_rays, 3] radiance SUM over the pool's samples, [] int32 rays traced)
     """Core persistent-wavefront loop (see render_chunk_persistent).
 
     Work item w covers (pixel slot w % n_rays, local sample w // n_rays);
@@ -505,6 +510,10 @@ def persistent_accum(
         depth=lane0 * 0,
         next_work=jnp.minimum(jnp.asarray(n_rays, jnp.int32), w_total),
         accum=o0 * 0.0,
+        # Measured rays traced: live lanes entering each bounce.  int32 is
+        # safe per call (<= n_rays * spp_per_pass * ray_depth << 2^31); the
+        # host loop accumulates across calls in Python ints.
+        n_bounce=w_total * 0,
     )
 
     def cond(st):
@@ -527,6 +536,7 @@ def persistent_accum(
                 depth[perm],
             )
 
+        n_bounce = st["n_bounce"] + jnp.sum(alive.astype(jnp.int32))
         draws = lane_uniforms(
             key, sample_start + sample, depth, chunk_start + slot, _DRAWS
         )
@@ -576,11 +586,11 @@ def persistent_accum(
         return dict(
             o=o, d=d, throughput=throughput, radiance=radiance, alive=alive2,
             active=active, slot=slot, sample=sample, depth=depth,
-            next_work=next_work, accum=accum,
+            next_work=next_work, accum=accum, n_bounce=n_bounce,
         )
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["accum"]
+    return state["accum"], state["n_bounce"]
 
 
 @partial(jax.jit, static_argnames=("n_rays", "spp", "config"))
@@ -626,6 +636,7 @@ def render(
     config: RenderConfig = None,
     progress: bool = False,
     timer=None,
+    stats: dict | None = None,
 ):
     """Full-frame render -> host numpy [H, W, 3] float32 HDR radiance.
 
@@ -635,6 +646,10 @@ def render(
 
     ``timer``: optional ``utils.profiling.PhaseTimer`` accumulating the
     host-visible phases (trace+compile+enqueue vs device wait/readback).
+    ``stats``: optional dict; the compaction engine fills
+    ``stats["measured_rays"]`` with the TRUE number of rays traced (live
+    lanes entering each bounce) so throughput claims need no path-length
+    convention (VERDICT r2: the depth-8 Mrays count is an upper bound).
     """
     import contextlib
 
@@ -666,6 +681,7 @@ def render(
     n_tiles = ((npix + chunk - 1) // chunk) * ((spp + pass_spp - 1) // pass_spp)
     done_tiles = 0
     pending = []
+    ray_counts = []  # per-dispatch measured bounce-ray counts (device scalars)
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
         acc = None
@@ -688,6 +704,9 @@ def render(
                     todo,
                     config,
                 )
+                if config.compaction:
+                    rad, nb = rad
+                    ray_counts.append(nb)
                 contrib = rad * float(todo)
                 acc = contrib if acc is None else acc + contrib
         pending.append((start, n, acc))
@@ -705,6 +724,8 @@ def render(
                 scene, jnp.asarray(start, jnp.int32), base,
                 jnp.asarray(s0, jnp.int32), chunk, todo, config,
             )
+            if config.compaction:  # identical recompute; don't double-count
+                rad = rad[0]
             contrib = rad * float(todo)
             acc = contrib if acc is None else acc + contrib
         return acc
@@ -727,4 +748,6 @@ def render(
                 )
                 acc = recompute_chunk(start)
         out[start : start + n] = host / spp
+    if stats is not None and ray_counts:
+        stats["measured_rays"] = int(sum(int(np.asarray(c)) for c in ray_counts))
     return out.reshape(h, w, 3)

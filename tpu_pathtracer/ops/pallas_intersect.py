@@ -12,20 +12,43 @@ sequential blocks instead:
 * a prepass kernel (one grid step per ray tile, everything fused in VMEM)
   computes, per (ray-tile, chunk), whether ANY ray in the tile enters the
   chunk's AABB (the wavefront analog of a BVH node test,
-  src/bvh.h:195-235), bit-packed into an int32 mask;
-* the main kernel runs on a (ray_tile, chunk-group) grid — ``group`` chunks
-  per step, because on-chip measurement showed ~1 us of fixed cost per grid
-  step, so one-chunk steps drowned the actual intersection math — reading
-  the activity bits from scalar-prefetched SMEM: inactive chunks are
-  predicated off with ``@pl.when`` on *scalar-core-resident* conditions
-  (predicates derived from in-kernel vector math measured 20-35 us/step in
-  vector->scalar syncs; prefetched bits are free), and active chunks
-  evaluate the exact Woop/Cramer test for all RT x 128 (ray, triangle)
-  pairs, min-accumulating (t, triangle id) into VMEM-resident outputs.
+  src/bvh.h:195-235) plus the tile's conservative AABB-entry distance,
+  bit-packed / row-packed into int32/f32 maps;
+* the main kernel runs on a (ray_tile, worklist-slot) grid — ``group``
+  chunks per step, because on-chip measurement showed ~1 us of fixed cost
+  per grid step — reading the activity bits from scalar-prefetched SMEM:
+  inactive chunks are predicated off with ``@pl.when`` on
+  *scalar-core-resident* conditions (predicates derived from in-kernel
+  vector math measured 20-35 us/step in vector->scalar syncs; prefetched
+  bits are free), and active chunks evaluate the exact Woop/Cramer test for
+  all RT x 128 (ray, triangle) pairs, min-accumulating (t, triangle id)
+  into VMEM-resident outputs.
 
-No per-ray gathers, no sorting, no divergence: skipped work is the only
-control flow, at tile granularity, which is exactly what the TPU's
-SIMD-with-predication model executes well.
+Round-3 redesign — the ordered-descent prune, wavefront style.  The
+reference's recursive BVH intersects the nearer child first and prunes the
+farther subtree whenever the current best hit is closer
+(src/bvh.h:207-226: ``if (res && res->t < snd_dst) return;``).  Round 2 had
+no analog: every chunk ANY ray in a tile pierced was pair-tested against
+the whole tile even after every ray already held a nearer hit — measured at
+~25-50x redundant intersection ALU on sorted wavefronts.  The wavefront
+analog implemented here is a two-pass near/far split:
+
+  pass 1   per tile, test only the ``cap1`` NEAREST active chunk groups
+           (worklist sorted by tile AABB-entry distance — front-to-back,
+           like the ordered descent);
+  recheck  re-run the activity prepass with each ray's pass-1 best t as a
+           per-ray far bound: chunk c stays active for ray r only while
+           ``t_enter(r, c) <= t_best(r)`` — the exact prune condition, per
+           ray, so escape rays (t_best = inf) conservatively keep their
+           chunks and nothing is ever lost;
+  pass 2   test only still-active groups not already tested, worklist again
+           front-to-back, grid sized by a ``lax.switch`` over count buckets
+           (small residuals — the common case after a front-to-back pass —
+           run a grid a fraction of the round-2 dense fallback's size).
+
+Both passes share one kernel that min-accumulates into (t, tri) outputs
+initialized from the previous pass, so retests are idempotent and the
+result is exactly the full union of tested chunks.
 """
 
 from __future__ import annotations
@@ -43,38 +66,41 @@ from .intersect import Hit, _PRECISION
 
 RAY_TILE = 512  # rays per grid tile
 _SORT_CELLS = 16  # sort-key origin grid resolution per axis
-_SORT_DIR_FINE = bool(int(os.environ.get("TPU_PT_SORT_DIR_FINE", "0")))
 CHUNK_TRIS = 128  # triangles per chunk (= 8 leaves of 16)
 
-
-def _pick_group(n_chunks: int) -> int:
-    """Chunks per main-kernel grid step.  On-chip sweep (group in {8,16,32},
-    82k-tri scene): 8 is 2.3-2.6x faster than 16/32 — the (group, 12, 128)
-    block DMA degrades beyond ~48 KB — while still amortizing the ~1 us
-    per-step fixed cost 8x over the round-1 one-chunk-per-step grid."""
-    del n_chunks
-    return 8
-
+_GROUP = 8  # chunks per main-kernel grid step.  On-chip sweep (8/16/32,
+# 82k-tri scene): 8 is 2.3-2.6x faster — the (group, 12, 128) block DMA
+# degrades beyond ~48 KB — while amortizing the ~1 us per-step fixed cost.
 
 _ACT_COLS = 512  # chunk columns per activity grid step (bounds vreg stack)
 
-# Compact-worklist tuning (read at trace time; env overridable for probes).
-_COMPACT_MIN_CG = int(os.environ.get("TPU_PT_COMPACT_MIN_CG", "96"))
-_COMPACT_CAP_NUM = int(os.environ.get("TPU_PT_COMPACT_CAP_NUM", "1"))
-_COMPACT_CAP_DEN = int(os.environ.get("TPU_PT_COMPACT_CAP_DEN", "3"))
+
+def _env_int(name: str, default: int) -> int:
+    """Tuning knob from the environment, read at TRACE time.  A jit cache
+    hit will NOT re-read it: set knobs before the first call of a given
+    shape signature (probe scripts restart the process per setting)."""
+    return int(os.environ.get(name, str(default)))
 
 
-def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
+def _activity_kernel(rays_ref, aabb_ref, tbest_ref, act_ref, ent_ref, *, min_dst):
     """Per-tile chunk-AABB slab test, fused in VMEM: grid step (b, i) tests
     ray tile i against chunk-column block b.  The column block is the OUTER
-    grid dim so the (t_tiles, _ACT_COLS) output block — indexed by b alone —
-    stays resident while every tile row i is written, then flushes complete.
-    out[i, c] = 1 iff any ray of tile i enters chunk c's AABB.
+    grid dim so the (t_tiles, _ACT_COLS) output blocks — indexed by b alone —
+    stay resident while every tile row i is written, then flush complete.
+
+    act[i, c] = 1 iff any ray of tile i enters chunk c's AABB *no farther
+    than that ray's current best hit* (tbest; +inf on the unbounded first
+    pass — then this is the plain slab test).
+    ent[i, c] = conservative tile entry distance: min over the tile's
+    qualifying rays of max(t_enter, min_dst), +inf where act = 0.  This is
+    the front-to-back ordering key (the wavefront form of the ordered
+    descent's near/far child distances, src/bvh.h:207-226).
 
     (A single whole-width step was tried first: at Sponza+ chunk counts its
     [RT, cpad] intermediates overflow the 16 MB VMEM vector stack.)"""
     i = pl.program_id(1)
     rays = rays_ref[:]  # [RT, 8]
+    tb = tbest_ref[:]  # [RT, 1] per-ray far bound (inf = unbounded)
     t_lo = None
     t_hi = None
     for a in range(3):
@@ -93,8 +119,13 @@ def _activity_kernel(rays_ref, aabb_ref, out_ref, *, min_dst):
         hi = jnp.maximum(t1, t2)
         t_lo = lo if t_lo is None else jnp.maximum(t_lo, lo)
         t_hi = hi if t_hi is None else jnp.minimum(t_hi, hi)
-    hit = (t_lo <= t_hi) & (t_hi >= min_dst)
-    out_ref[i, :] = jnp.any(hit, axis=0).astype(jnp.int32)
+    # Prune condition, per ray: the chunk can only improve ray r's hit if
+    # the ray enters its AABB before r's current best t (<= keeps ties
+    # conservatively; t_best = inf never prunes).
+    hit = (t_lo <= t_hi) & (t_hi >= min_dst) & (t_lo <= tb)
+    act_ref[i, :] = jnp.any(hit, axis=0).astype(jnp.int32)
+    entry = jnp.where(hit, jnp.maximum(t_lo, min_dst), jnp.inf)
+    ent_ref[i, :] = jnp.min(entry, axis=0)
 
 
 def tile_chunk_activity(
@@ -104,7 +135,9 @@ def tile_chunk_activity(
     min_dst: float,
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
-) -> jnp.ndarray:  # [T, C] int32 (1 where any ray in tile enters the chunk)
+    tbest: jnp.ndarray | None = None,  # [R] per-ray far bound (None = inf)
+):
+    """Returns (act [T, C] int32, entry [T, C] f32) — see _activity_kernel."""
     r = rays.shape[0]
     c = chunk_min.shape[0]
     t_tiles = r // ray_tile
@@ -122,7 +155,11 @@ def tile_chunk_activity(
         [chunk_min.T, chunk_max.T, jnp.zeros((2, cpad), chunk_min.dtype)],
         axis=0,
     )  # [8, cpad]
-    out = pl.pallas_call(
+    if tbest is None:
+        tbest = jnp.full((r, 1), jnp.inf, jnp.float32)
+    else:
+        tbest = tbest.reshape(r, 1).astype(jnp.float32)
+    act, ent = pl.pallas_call(
         functools.partial(_activity_kernel, min_dst=min_dst),
         grid=(cpad // _ACT_COLS, t_tiles),
         in_specs=[
@@ -132,14 +169,27 @@ def tile_chunk_activity(
             pl.BlockSpec(
                 (8, _ACT_COLS), lambda b, i: (0, b), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (ray_tile, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec(
-            (t_tiles, _ACT_COLS), lambda b, i: (0, b), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((t_tiles, cpad), jnp.int32),
+        out_specs=[
+            pl.BlockSpec(
+                (t_tiles, _ACT_COLS), lambda b, i: (0, b),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (t_tiles, _ACT_COLS), lambda b, i: (0, b),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_tiles, cpad), jnp.int32),
+            jax.ShapeDtypeStruct((t_tiles, cpad), jnp.float32),
+        ],
         interpret=interpret,
-    )(rays, aabb_rows)
-    return out[:, :c]
+    )(rays, aabb_rows, tbest)
+    return act[:, :c], ent[:, :c]
 
 
 def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
@@ -155,11 +205,46 @@ def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
 
 
-def _chunk_body(
-    o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst
-):
+def _group_stats(act, ent, group):
+    """Chunk-level activity/entry -> group level: a group is active when any
+    of its chunks is; its entry is the nearest active chunk entry."""
+    t_tiles, c = act.shape
+    cg = c // group
+    ga = jnp.any(act.reshape(t_tiles, cg, group) > 0, axis=2)
+    ge = jnp.min(ent.reshape(t_tiles, cg, group), axis=2)
+    return ga, ge
+
+
+def _worklist(ga, ge, cap):
+    """Front-to-back per-tile worklist over active groups.
+
+    Returns (idx [T, cap] int32, counts_c [T] = min(count, cap)).  Slot s of
+    a tile holds its s-th nearest active group; slots past the count repeat
+    the last in-count id so their block DMA is elided (the kernel gates
+    their work off with ``live``).  Truncation is safe by construction: any
+    group beyond cap remains un-tested and is picked up by the caller's
+    recheck pass (pass-1 caller) or cannot exist (pass-2 caller sizes cap
+    from max(counts))."""
+    t_tiles, cg = ga.shape
+    key = jnp.where(ga, ge, jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    counts = jnp.sum(ga.astype(jnp.int32), axis=1)
+    counts_c = jnp.minimum(counts, cap)
+    idx = order[:, :cap]
+    # Clamp-before-gather (never out of bounds even when counts == 0 or the
+    # cap truncates): index min(counts, cap) - 1, floored at 0.
+    last = jnp.take_along_axis(
+        idx, jnp.maximum(counts_c - 1, 0)[:, None], axis=1
+    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t_tiles, cap), 1)
+    idx = jnp.where(pos < counts_c[:, None], idx, last)
+    return idx, counts_c, counts
+
+
+def _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst):
     """Woop test of one 128-triangle chunk against the tile, min-accumulated
-    into the VMEM-resident outputs.  Shared by the dense and compact grids."""
+    into the VMEM-resident outputs.  Idempotent: retesting a chunk can never
+    change the result (strict < keeps the first winner on exact ties)."""
     w = wc_ref[g]  # [12, CHUNK_TRIS]
     cw = w.shape[-1]
 
@@ -186,16 +271,20 @@ def _chunk_body(
     )
 
 
-def _kernel(
-    active_ref, rays_ref, wc_ref, tmin_ref, tidx_ref, *, min_dst, group
+def _kernel_dense(
+    active_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref, tmin_ref, tidx_ref,
+    *, min_dst, group
 ):
+    """Dense grid: step (i, jg) tests tile i against chunk group jg, gated
+    per chunk by the prefetched activity bits.  Kept as the A/B probe and
+    interpret-mode oracle for the worklist path (TPU_PT_INTERSECT=dense)."""
     i = pl.program_id(0)
     jg = pl.program_id(1)
 
     @pl.when(jg == 0)
     def _init():
-        tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
-        tidx_ref[:] = jnp.zeros_like(tidx_ref)
+        tmin_ref[:] = tmin0_ref[:]
+        tidx_ref[:] = tidx0_ref[:]
 
     # Ray-side operands once per STEP, outside the predicated regions: the
     # [RT, 8] load + lane slices cost a relayout, and paying it per chunk
@@ -216,21 +305,22 @@ def _kernel(
             _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst)
 
 
-def _kernel_compact(
-    active_ref, idx_ref, cnt_ref, rays_ref, wc_ref, tmin_ref, tidx_ref,
-    *, min_dst, group
+def _kernel_pass(
+    active_ref, idx_ref, cnt_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref,
+    tmin_ref, tidx_ref, *, min_dst, group
 ):
-    """Compacted grid: slot s of tile i processes the s-th ACTIVE chunk
-    GROUP (idx_ref[i, s]); the group block DMA is indexed through the
-    prefetched id, so big mostly-inactive scenes stop paying the dense
-    (tile, group) grid's fixed per-step cost."""
+    """Worklist grid: slot s of tile i processes the tile's s-th nearest
+    ACTIVE chunk group (idx_ref[i, s]); the group block DMA is indexed
+    through the prefetched id, so mostly-inactive tiles stop paying the
+    dense grid's fixed per-step cost.  (t, tri) accumulate over the
+    previous pass's outputs (tmin0/tidx0 — +inf/0 on pass 1)."""
     i = pl.program_id(0)
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _init():
-        tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
-        tidx_ref[:] = jnp.zeros_like(tidx_ref)
+        tmin_ref[:] = tmin0_ref[:]
+        tidx_ref[:] = tidx0_ref[:]
 
     rays = rays_ref[:]  # [RT, 8]
     o1 = rays[:, 0:4]
@@ -249,7 +339,8 @@ def _kernel_compact(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret", "group")
+    jax.jit,
+    static_argnames=("min_dst", "ray_tile", "interpret", "group", "mode"),
 )
 def closest_hit_chunks(
     origin: jnp.ndarray,  # [R, 3], R % ray_tile == 0
@@ -262,12 +353,13 @@ def closest_hit_chunks(
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
     group: int | None = None,
+    mode: str | None = None,  # "twopass" (default) | "dense" (A/B oracle)
 ) -> Hit:
     r = origin.shape[0]
     c = chunk_woop.shape[0]
     assert r % ray_tile == 0, (r, ray_tile)
     t_tiles = r // ray_tile
-    group = group or _pick_group(c)
+    group = group or _GROUP
 
     # Pad the chunk count to a group multiple with NaN blocks: NaN AABBs can
     # never pass the slab test, NaN Woop rows can never intersect.
@@ -298,12 +390,12 @@ def closest_hit_chunks(
         ],
         axis=1,
     )  # [R, 8]
-    # chunk_min was padded to cg*group rows above, so active has exactly
+    # chunk_min was padded to cg*group rows above, so act/ent have exactly
     # cg*group columns.
-    active = tile_chunk_activity(
+    act, ent = tile_chunk_activity(
         rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
     )
-    bits = _bitpack(active)
+    bits = _bitpack(act)
     out_shape = [
         jax.ShapeDtypeStruct((r, 1), jnp.float32),
         jax.ShapeDtypeStruct((r, 1), jnp.int32),
@@ -314,45 +406,40 @@ def closest_hit_chunks(
     ray_spec = pl.BlockSpec(
         (ray_tile, 8), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
     )
-    out_specs = [
-        pl.BlockSpec(
-            (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-    ]
+    col_spec = lambda: pl.BlockSpec(
+        (ray_tile, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [col_spec(), col_spec()]
+    tmin_inf = jnp.full((r, 1), jnp.inf, jnp.float32)
+    tidx_zero = jnp.zeros((r, 1), jnp.int32)
 
-    def run_dense(_idx, _counts):
+    def run_dense(bits_, tmin0, tidx0):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # the bit-packed activity mask, in SMEM
             grid=(t_tiles, cg),
             in_specs=[
                 ray_spec,
+                col_spec(),
+                col_spec(),
                 wc_spec(lambda i, j, *_: (j, 0, 0)),
             ],
             out_specs=out_specs,
         )
         return pl.pallas_call(
-            functools.partial(_kernel, min_dst=min_dst, group=group),
+            functools.partial(_kernel_dense, min_dst=min_dst, group=group),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(bits, rays, chunk_woop)
+        )(bits_, rays, tmin0, tidx0, chunk_woop)
 
-    # Compact worklist: big mostly-inactive scenes (Sponza+: hundreds of
-    # groups, ~10-20% active per sorted tile) waste most dense-grid steps.
-    # Slot s of tile i processes its s-th active group, with a global
-    # dense fallback if any tile overflows the static cap.
-    cap = min(cg, max(8, -(-cg * _COMPACT_CAP_NUM // _COMPACT_CAP_DEN)))
-    use_compact = cg >= _COMPACT_MIN_CG
-
-    def run_compact(idx, counts):
+    def run_pass(bits_, idx, counts, tmin0, tidx0, cap):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # chunk bits + group ids + counts
             grid=(t_tiles, cap),
             in_specs=[
                 ray_spec,
+                col_spec(),
+                col_spec(),
                 wc_spec(
                     lambda i, s, bits_ref, idx_ref, cnt_ref: (
                         idx_ref[i, s], 0, 0
@@ -362,35 +449,67 @@ def closest_hit_chunks(
             out_specs=out_specs,
         )
         return pl.pallas_call(
-            functools.partial(_kernel_compact, min_dst=min_dst, group=group),
+            functools.partial(_kernel_pass, min_dst=min_dst, group=group),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(bits, idx, counts, rays, chunk_woop)
+        )(bits_, idx, counts, rays, tmin0, tidx0, chunk_woop)
 
-    if use_compact:
-        group_act = jnp.any(
-            active.reshape(t_tiles, cg, group) > 0, axis=2
-        )
-        counts = jnp.sum(group_act.astype(jnp.int32), axis=1)
-        # Active group ids first (ascending), then inactive ones.
-        order_key = (1 - group_act.astype(jnp.int32)) * cg + jax.lax.broadcasted_iota(
-            jnp.int32, (t_tiles, cg), 1
-        )
-        idx = jnp.argsort(order_key, axis=1)[:, :cap].astype(jnp.int32)
-        # Past-count slots repeat the last active id so their block DMA is
-        # elided (their chunk bits are only read under `live`).
-        last = jnp.take_along_axis(
-            idx, jnp.maximum(counts - 1, 0)[:, None], axis=1
-        )
-        pos = jax.lax.broadcasted_iota(jnp.int32, (t_tiles, cap), 1)
-        idx = jnp.where(pos < counts[:, None], idx, last)
-        overflow = jnp.any(counts > cap)
-        t_best, tri = jax.lax.cond(
-            overflow, run_dense, run_compact, idx, counts[:, None]
-        )
+    mode = mode or os.environ.get("TPU_PT_INTERSECT", "twopass")
+    if mode == "dense":
+        t_best, tri = run_dense(bits, tmin_inf, tidx_zero)
     else:
-        t_best, tri = run_dense(None, None)
+        ga, ge = _group_stats(act, ent, group)
+        # Pass-1 budget: the nearest groups where first hits happen.  Knob
+        # swept on chip; cg//16 keeps the near set proportional at scale.
+        cap1 = min(cg, max(_env_int("TPU_PT_PASS1_MIN", 12), cg // 16))
+        idx1, counts1, _full1 = _worklist(ga, ge, cap1)
+        t1, i1 = run_pass(bits, idx1, counts1[:, None], tmin_inf, tidx_zero,
+                          cap1)
+        if cap1 >= cg:
+            # Single pass covered every active group.
+            t_best, tri = t1, i1
+        else:
+            # Recheck: per-ray far bound = pass-1 best t.  Activity can only
+            # shrink (the bound adds a conjunct), so act2 <= act per chunk.
+            act2, _ = tile_chunk_activity(
+                rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
+                tbest=t1[:, 0],
+            )
+            ga2, _ = _group_stats(act2, ent, group)
+            rows = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
+            tested = (
+                jnp.zeros((t_tiles, cg), bool).at[rows, idx1].set(True)
+            )
+            ga2 = ga2 & ~tested
+            idx2, counts2, full2 = _worklist(ga2, ge, cg)
+            bits2 = _bitpack(act2)
+
+            # Residual grids come in buckets: compile one kernel per cap and
+            # switch on the max residual count, so one broad tile no longer
+            # drags every tile through a full-width grid (the round-2 global
+            # dense fallback, VERDICT missing item).
+            caps = sorted({min(cg, max(4, -(-cg // 8))),
+                           min(cg, max(8, -(-cg // 3))), cg})
+            m = jnp.max(full2)
+
+            def bucket(cap):
+                def run(_):
+                    return run_pass(
+                        bits2, idx2[:, :cap],
+                        jnp.minimum(counts2, cap)[:, None], t1, i1, cap,
+                    )
+                return run
+
+            branch = jnp.searchsorted(jnp.asarray(caps, jnp.int32), m)
+            t_best, tri = jax.lax.cond(
+                m > 0,
+                lambda _: jax.lax.switch(
+                    branch, [bucket(cap) for cap in caps], None
+                ),
+                lambda _: (t1, i1),
+                None,
+            )
 
     t_best = t_best[:, 0]
     tri = tri[:, 0]
@@ -428,25 +547,13 @@ def ray_sort_key(
     chunk-activity unions approach the per-ray minimum — Morton cell order
     keeps a tile's origins in one compact spatial blob, matching the
     Morton-ordered chunk layout; dead rays sort last so their tiles skip
-    every chunk."""
-    if _SORT_DIR_FINE:
-        # 2 bits per axis: sign + dominant-magnitude (64 direction bins).
-        def dbits(x):
-            return (x > 0).astype(jnp.int32) * 2 + (
-                jnp.abs(x) > 0.55
-            ).astype(jnp.int32)
-
-        octant = (
-            dbits(direction[:, 0]) * 16
-            + dbits(direction[:, 1]) * 4
-            + dbits(direction[:, 2])
-        )
-    else:
-        octant = (
-            (direction[:, 0] > 0).astype(jnp.int32) * 4
-            + (direction[:, 1] > 0).astype(jnp.int32) * 2
-            + (direction[:, 2] > 0).astype(jnp.int32)
-        )
+    every chunk.  (A 64-direction-bin fine key was swept on chip and lost:
+    15.24 s vs 17.32 s end-to-end.)"""
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
+    )
     ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
     nc = float(_SORT_CELLS)
     cell = jnp.clip(

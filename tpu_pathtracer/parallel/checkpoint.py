@@ -160,6 +160,8 @@ def render_with_checkpoints(
                 todo,
                 config,
             )
+            if config.compaction:  # persistent engine also returns ray count
+                rad = rad[0]
             # render_chunk returns the mean over `todo`; accumulate the sum.
             state.accum[start : start + n] += np.asarray(rad[:n]) * todo
         state.samples_done += todo

@@ -91,7 +91,7 @@ def render_pass_sharded(
             )
             my_count = jnp.clip(spp - spp_idx * spp_local, 0, spp_local)
             my_count = jax.lax.pcast(my_count, ("rays",), to="varying")
-            acc = persistent_accum(
+            acc, _n_bounce = persistent_accum(
                 scene_rep,
                 rank_start,
                 key,
