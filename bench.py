@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark: Mrays/s on a Sponza-class synthetic scene (single chip).
+"""Benchmark: enclosed Sponza-class atrium, single chip.
 
-The reference's headline number is Sponza 1000x1000 @1000 spp in ~47 min on a
-multi-core CPU — ~3.5e5 pixel-samples/s, i.e. ~1.4-2.8 Mrays/s counting <=8
-bounces per sample (BASELINE.md).  The course Sponza glTF is not
-redistributable (gitignored in the reference), so this bench renders a
-procedural scene of comparable triangle count (~82k tris: icosphere field +
-floor + area light) with the full estimator (VNDF/cosine/light MIS, textures
-path, alpha RR) and reports Mrays/s using the same ray-counting convention
-(pixels * spp * ray_depth).
+The reference's only published number is *enclosed* Sponza — 1000x1000
+@1000 spp in ~47 min on a multi-core CPU = ~3.5e5 pixel-samples/s
+(/root/reference/README.md:4, BASELINE.md).  Round 2 benched an OPEN
+icosphere field, which flatters samples/s (many paths escape after 1-2
+bounces) and makes depth-8 Mrays an overcount (VERDICT r2 missing #3/#4).
+This bench renders the enclosed procedural atrium (make_atrium_gltf:
+walled + ceilinged colonnade hall, skylight panels the only lights —
+occlusion-faithful to the atrium workload) and reports MEASURED rays
+traced (live lanes entering each bounce, counted by the persistent
+engine), not a path-length convention.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is speedup over the top of the reference's derived range
-(2.8 Mrays/s).
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
+value = measured Mrays/s; vs_baseline = pixel-samples/s over the
+reference's 3.5e5 (same workload shape, same convention).  Extra fields
+record the depth-8 upper-bound figure and per-rep times (methodology:
+best_of_2 against shared-tunnel congestion).
+
+Env knobs: BENCH_SCENE=field re-runs the round-2 open scene for
+cross-round comparability; BENCH_SPP / BENCH_SIZE override the workload.
 """
 
 import dataclasses
@@ -24,8 +31,9 @@ import time
 
 WIDTH = 512
 HEIGHT = 512
-SPP = 32
-BASELINE_MRAYS = 2.8  # top of the reference's derived range (BASELINE.md)
+SPP = 16
+BASELINE_SAMPLES_PER_S = 3.5e5  # reference CPU, enclosed Sponza (BASELINE.md)
+BASELINE_MRAYS = 2.8  # top of the reference's derived range (open-field metric)
 
 
 def main() -> int:
@@ -33,6 +41,11 @@ def main() -> int:
     from tpu_pathtracer.utils.backend import tpu_alive
 
     global WIDTH, HEIGHT, SPP
+    scene_kind = os.environ.get("BENCH_SCENE", "atrium")
+    if os.environ.get("BENCH_SIZE"):
+        WIDTH = HEIGHT = int(os.environ["BENCH_SIZE"])
+    if os.environ.get("BENCH_SPP"):
+        SPP = int(os.environ["BENCH_SPP"])
     if not os.environ.get("TPU_PATHTRACER_PLATFORM") and not tpu_alive():
         print("TPU unavailable; falling back to CPU at reduced size",
               file=sys.stderr)
@@ -47,46 +60,63 @@ def main() -> int:
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.scene.gltf import parse_gltf_scene
     from tpu_pathtracer.models.pathtracer import render
-    from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
+    from tpu_pathtracer.utils.testscenes import (
+        make_atrium_gltf,
+        make_sphere_field_gltf,
+    )
 
     # On-chip sweep winner (scripts/probe_render.py): 64k-ray wavefronts,
-    # whole-bench-spp passes (4 dispatches total at 512^2@32spp).
-    config = RenderConfig(rays_per_batch=1 << 16, spp_per_pass=32)
+    # whole-bench-spp passes.
+    config = RenderConfig(rays_per_batch=1 << 16, spp_per_pass=max(SPP, 1))
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
-    # Textured like the real Sponza headline workload (README.md:4-5): the
-    # bilinear-fetch path carries bench load, not just the intersector.
-    path = make_sphere_field_gltf(
-        os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3, textured=True
-    )
+    if scene_kind == "field":
+        path = make_sphere_field_gltf(
+            os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3,
+            textured=True,
+        )
+        label = "open-sphere-field"
+    else:
+        path = make_atrium_gltf(os.path.join(tmp, "atrium.gltf"), detail=2)
+        label = "enclosed-atrium"
     scene = parse_gltf_scene(path, WIDTH / HEIGHT, config)
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(WIDTH, HEIGHT))
     n_tris = int(scene.valid.sum())
-    print(f"bench scene: {n_tris} triangles (textured), {WIDTH}x{HEIGHT} @ {SPP} spp",
-          file=sys.stderr)
+    print(
+        f"bench scene: {label}, {n_tris} triangles (textured), "
+        f"{WIDTH}x{HEIGHT} @ {SPP} spp",
+        file=sys.stderr,
+    )
 
-    # Warm-up: one spp pass compiles the exact shapes the timed run uses.
     try:
+        # Warm-up: one full-shape render compiles + stages the exact
+        # programs the timed runs use (first execution of each program runs
+        # ~3x slow on the shared relay).
         t0 = time.perf_counter()
-        render(scene, spp=config.spp_per_pass, seed=0, config=config)
+        render(scene, spp=SPP, seed=0, config=config)
         warm = time.perf_counter() - t0
         print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
         # Best of 2: the shared tunnel-backed chip has multi-minute slow
         # phases (congestion on the relay); the best run reflects the
-        # hardware, the mean reflects the neighbours.
+        # hardware, the per-rep times (emitted below) expose the spread.
         rep_times = []
+        rep_rays = []
         for rep in range(2):
+            stats = {}
             t0 = time.perf_counter()
-            img = render(scene, spp=SPP, seed=1, config=config)
+            img = render(scene, spp=SPP, seed=1, config=config, stats=stats)
             rep_times.append(round(time.perf_counter() - t0, 3))
-        dt = min(rep_times)
+            rep_rays.append(stats.get("measured_rays", 0))
+        best = min(range(2), key=lambda i: rep_times[i])
+        dt = rep_times[best]
+        measured_rays = rep_rays[best]
         assert img.shape == (HEIGHT, WIDTH, 3)
     except Exception as err:  # noqa: BLE001 — always emit the metric line
         print(f"bench render failed: {err}", file=sys.stderr)
         print(
             json.dumps(
                 {
-                    "metric": "synthetic-sponza Mrays/s (RENDER FAILED)",
+                    "metric": f"{label} Mrays/s (RENDER FAILED)",
                     "value": 0.0,
                     "unit": "Mrays/s",
                     "vs_baseline": 0.0,
@@ -95,27 +125,39 @@ def main() -> int:
         )
         return 1
 
-    rays = WIDTH * HEIGHT * SPP * scene.ray_depth
-    mrays = rays / dt / 1e6
+    samples = WIDTH * HEIGHT * SPP
+    samples_per_s = samples / dt
+    mrays_upper = samples * scene.ray_depth / dt / 1e6
+    mrays_measured = measured_rays / dt / 1e6 if measured_rays else mrays_upper
     print(
-        f"render: {dt:.2f}s, {WIDTH*HEIGHT*SPP/dt:.0f} pixel-samples/s",
+        f"render: {dt:.2f}s, {samples_per_s:.0f} pixel-samples/s, "
+        f"{mrays_measured:.2f} measured Mrays/s "
+        f"(avg path length {measured_rays / samples:.2f})"
+        if measured_rays
+        else f"render: {dt:.2f}s, {samples_per_s:.0f} pixel-samples/s",
         file=sys.stderr,
     )
     backend = os.environ.get("TPU_PATHTRACER_PLATFORM") or "tpu"
+    vs = (
+        samples_per_s / BASELINE_SAMPLES_PER_S
+        if label == "enclosed-atrium"
+        else mrays_upper / BASELINE_MRAYS  # round-2 convention for the field
+    )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"synthetic-sponza-{n_tris//1000}k-tris-textured Mrays/s "
+                    f"{label}-{n_tris // 1000}k-tris measured Mrays/s "
                     f"({WIDTH}x{HEIGHT}@{SPP}spp, depth {scene.ray_depth}, "
-                    f"{backend})"
+                    f"{backend}); vs_baseline = pixel-samples/s over the "
+                    f"reference CPU's 3.5e5 on enclosed Sponza"
                 ),
-                "value": round(mrays, 3),
+                "value": round(mrays_measured, 3),
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-                # Methodology record (ADVICE r2): the shared tunnel-backed
-                # chip has multi-minute congestion phases; best-of-N reflects
-                # the hardware, the per-rep times expose the spread.
+                "vs_baseline": round(vs, 3),
+                "pixel_samples_per_s": round(samples_per_s, 1),
+                "mrays_depth8_upper_bound": round(mrays_upper, 3),
+                "measured_rays": measured_rays,
                 "timing": "best_of_2",
                 "rep_times_s": rep_times,
             }

@@ -200,6 +200,54 @@ def test_twopass_matches_dense_interpret():
             )
 
 
+def test_super_block_gate_matches_dense(monkeypatch):
+    """The coarse super-block gate (prefetched skip of whole activity
+    steps) must not change results: rays that miss a 512-chunk super-AABB
+    get zero activity from the gate instead of the slab sweep, and
+    everything else is identical.  Forced on via the threshold so the small
+    test scene exercises both kernel branches (tiles whose rays pierce the
+    scene, and tiles aimed entirely away)."""
+    import tpu_pathtracer.ops.pallas_intersect as pi
+
+    verts, valid = _scene(16000, seed=21, spread=20.0)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+
+    rng = np.random.default_rng(22)
+    r = 256
+    o = rng.uniform(-24, 24, size=(r, 3)).astype(np.float32)
+    # Aim at random spots inside the scene so most rays cross geometry.
+    aim = rng.uniform(-10, 10, size=(r, 3)).astype(np.float32)
+    d = aim - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # Second half: far away, aimed away from the scene -> whole tiles gated.
+    o[r // 2:] = 1e4
+    d[r // 2:] = np.array([1.0, 0.0, 0.0], np.float32)
+
+    kw = dict(min_dst=EPS, ray_tile=128, interpret=True)
+    dense = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), mode="dense", **kw,
+    )
+    monkeypatch.setattr(pi, "_SUPER_BLOCK_MIN", 0)
+    # The threshold is read at trace time; drop any cached trace of the same
+    # shape signature so the gated path actually compiles.
+    closest_hit_chunks.clear_cache()
+    gated = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), mode="twopass", **kw,
+    )
+    assert np.asarray(dense.hit)[: r // 2].sum() > 50
+    assert not np.asarray(dense.hit)[r // 2:].any()
+    np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(gated.hit))
+    both = np.asarray(dense.hit)
+    np.testing.assert_array_equal(
+        np.asarray(gated.t)[both], np.asarray(dense.t)[both]
+    )
+
+
 def test_activity_on_plane_zero_direction_component():
     """Regression: a ray whose origin lies exactly ON a chunk-AABB plane
     with a zero direction component along that axis must still activate the

@@ -300,10 +300,28 @@ def bounce_step(
     )
     p_cos = sampling.cosine_pdf(info["normal"], new_dir)
     if has_light_rows:
-        p_light = light_pdf_sum(
-            pos, new_dir, lights.verts, lights.normal, lights.area,
-            lights.count, eps,
+        r = pos.shape[0]
+        use_clusters = (
+            lights.has_clusters
+            and lights.capacity > 512
+            and jax.default_backend() in ("tpu", "axon")
+            and r % 256 == 0
         )
+        if use_clusters:
+            # Sub-linear all-hits pdf: cost scales with pierced clusters,
+            # not L (the reference's light-BVH walk, raytracer.h:363-375).
+            from ..ops.pallas_intersect import RAY_TILE, light_pdf_sum_chunks
+
+            p_light = light_pdf_sum_chunks(
+                pos, new_dir, lights.cluster_woop, lights.cluster_k,
+                lights.cluster_min, lights.cluster_max, lights.count, eps,
+                ray_tile=RAY_TILE if r % RAY_TILE == 0 else 256,
+            )
+        else:
+            p_light = light_pdf_sum(
+                pos, new_dir, lights.verts, lights.normal, lights.area,
+                lights.count, eps,
+            )
         p_mix = jnp.where(lights.count > 0, (p_cos + p_light) / 2.0, p_cos)
     else:
         p_mix = p_cos

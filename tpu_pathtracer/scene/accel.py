@@ -116,6 +116,64 @@ def chunk_aabbs(
     return cmin, cmax
 
 
+def light_clusters(lverts: np.ndarray, count: int, cluster: int = 128):
+    """Morton-clustered light blocks for the sub-linear all-hits pdf.
+
+    The reference's light BVH exists to (a) pick a light uniformly and
+    (b) sum pdf projection terms over every emissive triangle a ray pierces
+    (src/raytracer.h:350-376).  (a) stays order-preserving and dense; this
+    build serves (b): lights are Morton-sorted and grouped into 128-wide
+    clusters with AABBs + Woop blocks (identical layout to the geometry
+    chunks, so the Pallas worklist machinery is reused verbatim) + the
+    per-light constant k = 1/(2*area^2), which turns the projection term
+    into ``t^2 |d|^2 k / |q_n|`` — pure epilogue on the same contraction.
+
+    Returns (cl_min [C,3], cl_max [C,3], cl_woop [C,12,cluster],
+    cl_k [C,cluster]) as float32 numpy.
+    """
+    from ..ops.intersect import build_woop
+    from ..ops.pallas_intersect import build_chunk_woop
+
+    lverts = np.asarray(lverts, np.float64)
+    cap = lverts.shape[0]
+    valid = np.zeros(cap, bool)
+    valid[:count] = True
+    perm = morton_order(lverts, valid)
+    lv = lverts[perm]
+    ok = valid[perm]
+    pad = (-cap) % cluster
+    if pad:
+        lv = np.concatenate([lv, np.full((pad, 3, 3), 1e30)], axis=0)
+        ok = np.concatenate([ok, np.zeros(pad, bool)])
+    n = lv.shape[0]
+    c = n // cluster
+    # Cluster AABBs over valid light verts (never-hit boxes when empty).
+    v = lv.reshape(c, cluster, 3, 3)
+    okc = ok.reshape(c, cluster)
+    big = np.inf
+    cl_min = np.where(okc[:, :, None, None], v, big).min(axis=(1, 2))
+    cl_max = np.where(okc[:, :, None, None], v, -big).max(axis=(1, 2))
+    empty = ~okc.any(axis=1)
+    cl_min[empty] = big
+    cl_max[empty] = -big
+    woop = build_woop(lv, ok)  # [4, 3n]; NaN rows on invalid
+    cl_woop = build_chunk_woop(woop, cluster)
+    e1 = lv[:, 1] - lv[:, 0]
+    e2 = lv[:, 2] - lv[:, 0]
+    n0 = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(n0, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = 1.0 / (2.0 * area * area)
+    k = np.where(ok & np.isfinite(k), k, 0.0)
+    cl_k = k.reshape(c, cluster)
+    return (
+        cl_min.astype(np.float32),
+        cl_max.astype(np.float32),
+        cl_woop,
+        cl_k.astype(np.float32),
+    )
+
+
 def leaf_woop(woop_cols: np.ndarray, leaf_size: int = LEAF_SIZE) -> np.ndarray:
     """Re-layout the [4, 3N] Woop matrix into per-leaf blocks [L, 12, S].
 

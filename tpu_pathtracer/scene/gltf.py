@@ -535,11 +535,18 @@ def _pack_triangle_scene(
         lnormal = lcross / np.linalg.norm(lcross, axis=-1, keepdims=True)
     lnormal = np.nan_to_num(lnormal, nan=0.0, posinf=0.0, neginf=0.0)
 
+    from .accel import light_clusters
+
+    cl_min, cl_max, cl_woop, cl_k = light_clusters(lverts, len(light_rows))
     lights = T.LightSet(
         verts=jnp.asarray(lverts),
         normal=jnp.asarray(lnormal.astype(np.float32)),
         area=jnp.asarray(larea.astype(np.float32)),
         count=jnp.asarray(len(light_rows), dtype=jnp.int32),
+        cluster_min=jnp.asarray(cl_min),
+        cluster_max=jnp.asarray(cl_max),
+        cluster_woop=jnp.asarray(cl_woop),
+        cluster_k=jnp.asarray(cl_k),
     )
 
     bg = np.full(3, config.env_map_intensity, dtype=np.float32)  # src/main.cpp:28

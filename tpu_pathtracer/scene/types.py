@@ -132,9 +132,25 @@ class LightSet:
     area: jnp.ndarray  # [L]
     count: jnp.ndarray  # [] int32
 
+    # Morton-clustered copy for the sub-linear all-hits pdf at scale
+    # (ops/pallas_intersect.light_pdf_sum_chunks — the wavefront analog of
+    # the reference's light-BVH walk, src/raytracer.h:363-375 over
+    # src/bvh.h:237-260).  128 lights per cluster, same block layout as the
+    # geometry chunks; internal order is independent of `verts` so light
+    # *selection* (and thus the sampled estimator stream) is unchanged.
+    # None when the loader skipped the build (hand-built LightSets in tests).
+    cluster_min: Optional[jnp.ndarray] = None  # [C, 3]
+    cluster_max: Optional[jnp.ndarray] = None  # [C, 3]
+    cluster_woop: Optional[jnp.ndarray] = None  # [C, 12, 128]
+    cluster_k: Optional[jnp.ndarray] = None  # [C, 128] = 1/(2*area^2), 0 pad
+
     @property
     def capacity(self) -> int:
         return self.verts.shape[0]
+
+    @property
+    def has_clusters(self) -> bool:
+        return self.cluster_woop is not None
 
 
 @_register
