@@ -67,7 +67,10 @@ def main() -> int:
 
     # On-chip sweep winner (scripts/probe_render.py): 64k-ray wavefronts,
     # whole-bench-spp passes.
-    config = RenderConfig(rays_per_batch=1 << 16, spp_per_pass=max(SPP, 1))
+    config = RenderConfig(
+        rays_per_batch=1 << 16, spp_per_pass=max(SPP, 1),
+        sort_key=os.environ.get("BENCH_SORT", "hint"),
+    )
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
     if scene_kind == "field":
         path = make_sphere_field_gltf(

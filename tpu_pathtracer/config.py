@@ -74,6 +74,14 @@ class RenderConfig:
     # (SURVEY §5 failure-detection contract).  0 disables.
     failure_retries: int = 2
 
+    # Wavefront coherence sort key for large scenes.  "hint": direction
+    # octant x the Morton chunk id of the surface the ray spawned from
+    # (surface-adaptive — much tighter tile unions for incoherent enclosed
+    # secondaries); "cell": direction octant x 16^3 Morton origin cell (the
+    # round-2 key, kept for A/B probes).  Purely a perf knob: sorting is
+    # observationally free (per-pixel counter RNG).
+    sort_key: str = "hint"
+
     # Wavefront engine: True = persistent wavefront with path regeneration
     # (true stream compaction: dead lanes refill with fresh samples each
     # iteration, ~100% lane occupancy); False = fixed scan over ray_depth

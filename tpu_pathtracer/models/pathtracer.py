@@ -43,7 +43,7 @@ from ..scene.types import Camera, TriangleScene
 # scene_closest_hit); env-overridable for on-chip A/B probes.
 import os as _os
 
-_NARROW_TILE_CHUNKS = int(_os.environ.get("TPU_PT_NARROW_TILE_CHUNKS", "2048"))
+_NARROW_TILE_CHUNKS = int(_os.environ.get("TPU_PT_NARROW_TILE_CHUNKS", "1024"))
 
 # Uniform draws consumed per ray per bounce (fixed-shape wavefront layout):
 # 0 alpha coin | 1 vndf coin | 2,3 vndf | 4 mixture pick | 5,6 cosine
@@ -350,7 +350,12 @@ def bounce_step(
     o = where3(moved, pos, o)
     d = where3(cont, new_dir, d)
     alive = moved
-    return o, d, throughput, radiance, alive
+    # Sort hint for the NEXT bounce: the Morton chunk id of the surface the
+    # ray now spawns from (ray_sort_key_hint); -1 where dead/invalid.
+    from ..ops.pallas_intersect import CHUNK_TRIS
+
+    hint = jnp.where(moved, hit.tri // CHUNK_TRIS, -1)
+    return o, d, throughput, radiance, alive, hint
 
 
 def trace(
@@ -372,26 +377,32 @@ def trace(
     if sort_rays:
         scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
         scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
+        n_chunks = scene.chunk_woop.shape[0]
+
+    def sort_key(o, d, alive, hint):
+        from ..ops.pallas_intersect import ray_sort_key, ray_sort_key_hint
+
+        if config.sort_key == "hint":
+            return ray_sort_key_hint(d, alive, hint, n_chunks)
+        return ray_sort_key(o, d, alive, scene_lo, scene_hi)
 
     def bounce(carry, bounce_idx):
-        o, d, throughput, radiance, alive, pids, slot = carry
+        o, d, throughput, radiance, alive, pids, slot, hint = carry
         if sort_rays:
-            from ..ops.pallas_intersect import ray_sort_key
-
-            perm = jnp.argsort(ray_sort_key(o, d, alive, scene_lo, scene_hi))
-            o, d, throughput, radiance, alive, pids, slot = (
+            perm = jnp.argsort(sort_key(o, d, alive, hint))
+            o, d, throughput, radiance, alive, pids, slot, hint = (
                 o[perm], d[perm], throughput[perm], radiance[perm],
-                alive[perm], pids[perm], slot[perm],
+                alive[perm], pids[perm], slot[perm], hint[perm],
             )
         draws = lane_uniforms(key, sample, bounce_idx, pids, _DRAWS)
-        o, d, throughput, radiance, alive = bounce_step(
+        o, d, throughput, radiance, alive, hint = bounce_step(
             scene, config, o, d, throughput, radiance, alive, draws
         )
         if sort_rays:
             # Null dead rays to a far-away origin: their tiles then miss
             # every chunk AABB and the intersector skips them entirely.
             o = where3(alive, o, jnp.full((3,), 1e30, o.dtype))
-        return (o, d, throughput, radiance, alive, pids, slot), None
+        return (o, d, throughput, radiance, alive, pids, slot, hint), None
 
     # Derive carry inits from the (possibly shard_map-varying) inputs so the
     # scan carry keeps a consistent varying-axis type under shard_map.
@@ -406,6 +417,7 @@ def trace(
         # composed per-bounce permutation is inverted through it, so callers
         # may pass ANY pixel_ids (shuffled, duplicated) safely.
         pixel_ids * 0 + jnp.arange(r, dtype=jnp.int32),
+        pixel_ids * 0 - 1,  # sort hint: fresh primaries have none
     )
     def bounce_or_skip(carry, bounce_idx):
         # Whole-wavefront early exit: once every ray is dead the remaining
@@ -417,7 +429,7 @@ def trace(
             carry,
         ), None
 
-    (o, d, throughput, radiance, alive, pids, slot), _ = jax.lax.scan(
+    (o, d, throughput, radiance, alive, pids, slot, _hint), _ = jax.lax.scan(
         bounce_or_skip, init, jnp.arange(scene.ray_depth)
     )
     # Depth exhaustion: the reference's deepest call returns {0,0,0}, which a
@@ -495,6 +507,14 @@ def persistent_accum(
     if sort_rays:
         scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
         scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
+        n_chunks = scene.chunk_woop.shape[0]
+
+    def sort_key(o, d, alive, hint):
+        from ..ops.pallas_intersect import ray_sort_key, ray_sort_key_hint
+
+        if config.sort_key == "hint":
+            return ray_sort_key_hint(d, alive, hint, n_chunks)
+        return ray_sort_key(o, d, alive, scene_lo, scene_hi)
 
     def spawn(work_ids, valid):
         """Primary rays for work ids (sample-major order)."""
@@ -526,6 +546,7 @@ def persistent_accum(
         slot=lane0,  # chunk-local pixel slot for the accumulator scatter
         sample=s0 + lane0 * 0,
         depth=lane0 * 0,
+        hint=lane0 * 0 - 1,  # spawn-surface chunk id (fresh lanes: none)
         next_work=jnp.minimum(jnp.asarray(n_rays, jnp.int32), w_total),
         accum=o0 * 0.0,
         # Measured rays traced: live lanes entering each bounce.  int32 is
@@ -543,22 +564,22 @@ def persistent_accum(
         alive, active = st["alive"], st["active"]
         slot, sample, depth = st["slot"], st["sample"], st["depth"]
         next_work, accum = st["next_work"], st["accum"]
+        hint = st["hint"]
 
         if sort_rays:
-            from ..ops.pallas_intersect import ray_sort_key
-
-            perm = jnp.argsort(ray_sort_key(o, d, alive, scene_lo, scene_hi))
-            o, d, throughput, radiance, alive, active, slot, sample, depth = (
+            perm = jnp.argsort(sort_key(o, d, alive, hint))
+            (o, d, throughput, radiance, alive, active, slot, sample, depth,
+             hint) = (
                 o[perm], d[perm], throughput[perm], radiance[perm],
                 alive[perm], active[perm], slot[perm], sample[perm],
-                depth[perm],
+                depth[perm], hint[perm],
             )
 
         n_bounce = st["n_bounce"] + jnp.sum(alive.astype(jnp.int32))
         draws = lane_uniforms(
             key, sample_start + sample, depth, chunk_start + slot, _DRAWS
         )
-        o, d, throughput, radiance, alive2 = bounce_step(
+        o, d, throughput, radiance, alive2, hint = bounce_step(
             scene, config, o, d, throughput, radiance, alive, draws
         )
         alive2 = alive2 & alive  # dead/inactive lanes stay dead
@@ -593,6 +614,7 @@ def persistent_accum(
         slot = jnp.where(take, nslot, slot)
         sample = jnp.where(take, nsample, sample)
         depth = jnp.where(take, 0, depth)
+        hint = jnp.where(take, -1, hint)
         alive2 = alive2 | take
         active = (active & ~done) | take
         next_work = jnp.minimum(
@@ -603,7 +625,7 @@ def persistent_accum(
             o = where3(alive2, o, jnp.full((3,), 1e30, o.dtype))
         return dict(
             o=o, d=d, throughput=throughput, radiance=radiance, alive=alive2,
-            active=active, slot=slot, sample=sample, depth=depth,
+            active=active, slot=slot, sample=sample, depth=depth, hint=hint,
             next_work=next_work, accum=accum, n_bounce=n_bounce,
         )
 

@@ -83,24 +83,31 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, str(default)))
 
 
-def _activity_kernel(rays_ref, aabb_ref, tbest_ref, act_ref, ent_ref, *, min_dst):
+def _activity_kernel(
+    rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref, *, min_dst, n_sub
+):
     _activity_body(
-        pl.program_id(1), rays_ref, aabb_ref, tbest_ref, act_ref, ent_ref,
-        min_dst=min_dst,
+        pl.program_id(1), rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref,
+        min_dst=min_dst, n_sub=n_sub,
     )
 
 
 def _activity_body(
-    i, rays_ref, aabb_ref, tbest_ref, act_ref, ent_ref, *, min_dst
+    i, rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref, *, min_dst, n_sub
 ):
     """Per-tile chunk-AABB slab test, fused in VMEM: grid step (b, i) tests
     ray tile i against chunk-column block b.  The column block is the OUTER
     grid dim so the (t_tiles, _ACT_COLS) output blocks — indexed by b alone —
     stay resident while every tile row i is written, then flush complete.
 
-    act[i, c] = 1 iff any ray of tile i enters chunk c's AABB *no farther
-    than that ray's current best hit* (tbest; +inf on the unbounded first
-    pass — then this is the plain slab test).
+    sub[i*n_sub + s, c] = 1 iff any ray of SUB-TILE s of tile i enters
+    chunk c's AABB *no farther than that ray's current best hit* (tbest;
+    +inf on the unbounded first pass — then this is the plain slab test).
+    Sub-tile granularity is the round-3 answer to union inflation: on
+    enclosed-scene secondaries a 256-ray union activates ~272 chunks while
+    a 64-ray union activates ~132 and a single ray ~14 (probe_granularity),
+    so the main kernel gates pair tests per (chunk, sub-tile) instead of
+    per chunk.  Tile-level activity = any over the n_sub rows (XLA side).
     ent[i, c] = conservative tile entry distance: min over the tile's
     qualifying rays of max(t_enter, min_dst), +inf where act = 0.  This is
     the front-to-back ordering key (the wavefront form of the ordered
@@ -132,13 +139,22 @@ def _activity_body(
     # the ray enters its AABB before r's current best t (<= keeps ties
     # conservatively; t_best = inf never prunes).
     hit = (t_lo <= t_hi) & (t_hi >= min_dst) & (t_lo <= tb)
-    act_ref[i, :] = jnp.any(hit, axis=0).astype(jnp.int32)
+    cols = hit.shape[-1]
+    subact = jnp.any(hit.reshape(n_sub, -1, cols), axis=1).astype(jnp.int32)
+    if n_sub < 8:
+        # The sub block is always 8 rows (TPU block shapes need the
+        # second-minor dim divisible by 8); rows past n_sub are zero.
+        subact = jnp.concatenate(
+            [subact, jnp.zeros((8 - n_sub, cols), jnp.int32)], axis=0
+        )
+    sub_ref[:] = subact
     entry = jnp.where(hit, jnp.maximum(t_lo, min_dst), jnp.inf)
     ent_ref[i, :] = jnp.min(entry, axis=0)
 
 
 def _activity_kernel_gated(
-    cbits_ref, rays_ref, aabb_ref, tbest_ref, act_ref, ent_ref, *, min_dst
+    cbits_ref, rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref, *,
+    min_dst, n_sub
 ):
     """_activity_kernel with a prefetched coarse gate: grid step (b, i) is
     skipped outright (zero activity, inf entry) when no ray of tile i enters
@@ -153,13 +169,13 @@ def _activity_kernel_gated(
     @pl.when(bit > 0)
     def _go():
         _activity_body(
-            i, rays_ref, aabb_ref, tbest_ref, act_ref, ent_ref,
-            min_dst=min_dst,
+            i, rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref,
+            min_dst=min_dst, n_sub=n_sub,
         )
 
     @pl.when(bit == 0)
     def _skip():
-        act_ref[i, :] = jnp.zeros_like(act_ref[i, :])
+        sub_ref[:] = jnp.zeros_like(sub_ref)
         ent_ref[i, :] = jnp.full_like(ent_ref[i, :], jnp.inf)
 
 
@@ -172,8 +188,10 @@ def tile_chunk_activity(
     interpret: bool = False,
     tbest: jnp.ndarray | None = None,  # [R] per-ray far bound (None = inf)
     coarse_bits: jnp.ndarray | None = None,  # [T, ceil(nb/32)] block gate
+    n_sub: int = 1,  # sub-tiles per ray tile (sub-tile activity rows)
 ):
-    """Returns (act [T, C] int32, entry [T, C] f32) — see _activity_kernel."""
+    """Returns (act [T, C] int32, entry [T, C] f32, sub [T, n_sub, C]) —
+    see _activity_kernel.  act = any over sub rows."""
     r = rays.shape[0]
     c = chunk_min.shape[0]
     t_tiles = r // ray_tile
@@ -197,7 +215,7 @@ def tile_chunk_activity(
         tbest = tbest.reshape(r, 1).astype(jnp.float32)
     out_specs = [
         pl.BlockSpec(
-            (t_tiles, _ACT_COLS), lambda b, i, *_: (0, b),
+            (8, _ACT_COLS), lambda b, i, *_: (i, b),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
@@ -206,7 +224,7 @@ def tile_chunk_activity(
         ),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((t_tiles, cpad), jnp.int32),
+        jax.ShapeDtypeStruct((t_tiles * 8, cpad), jnp.int32),
         jax.ShapeDtypeStruct((t_tiles, cpad), jnp.float32),
     ]
     in_specs = [
@@ -221,8 +239,8 @@ def tile_chunk_activity(
         ),
     ]
     if coarse_bits is None:
-        act, ent = pl.pallas_call(
-            functools.partial(_activity_kernel, min_dst=min_dst),
+        sub, ent = pl.pallas_call(
+            functools.partial(_activity_kernel, min_dst=min_dst, n_sub=n_sub),
             grid=(cpad // _ACT_COLS, t_tiles),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -230,8 +248,10 @@ def tile_chunk_activity(
             interpret=interpret,
         )(rays, aabb_rows, tbest)
     else:
-        act, ent = pl.pallas_call(
-            functools.partial(_activity_kernel_gated, min_dst=min_dst),
+        sub, ent = pl.pallas_call(
+            functools.partial(
+                _activity_kernel_gated, min_dst=min_dst, n_sub=n_sub
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(cpad // _ACT_COLS, t_tiles),
@@ -241,7 +261,9 @@ def tile_chunk_activity(
             out_shape=out_shape,
             interpret=interpret,
         )(coarse_bits, rays, aabb_rows, tbest)
-    return act[:, :c], ent[:, :c]
+    sub = sub.reshape(t_tiles, 8, cpad)[:, :n_sub, :c]
+    act = jnp.any(sub > 0, axis=1).astype(jnp.int32)
+    return act, ent[:, :c], sub
 
 
 def super_block_bits(
@@ -270,7 +292,7 @@ def super_block_bits(
     nb = chunk_min.shape[0] // _ACT_COLS
     cb_min = jnp.nanmin(chunk_min.reshape(nb, _ACT_COLS, 3), axis=1)
     cb_max = jnp.nanmax(chunk_max.reshape(nb, _ACT_COLS, 3), axis=1)
-    coarse_act, _ = tile_chunk_activity(
+    coarse_act, _, _ = tile_chunk_activity(
         rays, cb_min, cb_max, min_dst, ray_tile, interpret
     )
     return _bitpack(coarse_act)
@@ -287,6 +309,28 @@ def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     bits = act.astype(jnp.int32).reshape(t_tiles, -1, 32)
     weights = (1 << jnp.arange(32, dtype=jnp.int32))[None, None, :]
     return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
+
+
+def _pack_sub_bits(sub: jnp.ndarray) -> jnp.ndarray:
+    """[T, n_sub, C] 0/1 -> [T, ceil(C/cpw)] int32 words, n_sub bits per
+    chunk (cpw = 32 // n_sub chunks per word): chunk c's sub-tile mask sits
+    at bit offset n_sub * (c % cpw).  The main kernel gates each
+    (chunk, sub-tile) pair on one of these bits."""
+    t_tiles, n_sub, c = sub.shape
+    cpw = 32 // n_sub
+    pad = (-c) % cpw
+    if pad:
+        sub = jnp.concatenate(
+            [sub, jnp.zeros((t_tiles, n_sub, pad), sub.dtype)], axis=2
+        )
+    c2 = sub.shape[2]
+    # [T, n_sub, c2] -> [T, c2, n_sub] -> [T, c2//cpw, cpw, n_sub]
+    b = jnp.transpose(sub, (0, 2, 1)).reshape(t_tiles, c2 // cpw, cpw, n_sub)
+    weights = (
+        1 << (jnp.arange(cpw, dtype=jnp.int32)[:, None] * n_sub
+              + jnp.arange(n_sub, dtype=jnp.int32)[None, :])
+    )
+    return jnp.sum(b.astype(jnp.int32) * weights[None, None], axis=(2, 3)).astype(jnp.int32)
 
 
 def _group_stats(act, ent, group):
@@ -355,6 +399,41 @@ def _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst):
     )
 
 
+def _chunk_body_sub(
+    o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, st, rows, min_dst
+):
+    """_chunk_body restricted to sub-tile st (rows [st*rows, (st+1)*rows)):
+    the pair-test ALU unit of the sub-tile-gated kernel."""
+    w = wc_ref[g]  # [12, CHUNK_TRIS]
+    cw = w.shape[-1]
+    lo = st * rows
+    hi = lo + rows
+
+    def contract(x, r0):
+        return jnp.dot(
+            x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
+            precision=_PRECISION,
+        )
+
+    o1s = o1[lo:hi]
+    d0s = d0[lo:hi]
+    p0, p1, p2 = contract(o1s, 0), contract(o1s, 4), contract(o1s, 8)
+    q0, q1, q2 = contract(d0s, 0), contract(d0s, 4), contract(d0s, 8)
+    t = -p2 / q2
+    beta = p0 + t * q0
+    gamma = p1 + t * q1
+    ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= min_dst)
+    t_m = jnp.where(ok, t, jnp.inf)
+    chunk_min = jnp.min(t_m, axis=1, keepdims=True)  # [rows, 1]
+    chunk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)  # [rows]
+    cur = tmin_ref[lo:hi]
+    better = chunk_min < cur
+    tmin_ref[lo:hi] = jnp.where(better, chunk_min, cur)
+    tidx_ref[lo:hi] = jnp.where(
+        better, j * cw + chunk_arg[:, None], tidx_ref[lo:hi]
+    )
+
+
 def _kernel_dense(
     active_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref, tmin_ref, tidx_ref,
     *, min_dst, group
@@ -391,13 +470,19 @@ def _kernel_dense(
 
 def _kernel_pass(
     active_ref, idx_ref, cnt_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref,
-    tmin_ref, tidx_ref, *, min_dst, group
+    tmin_ref, tidx_ref, *, min_dst, group, n_sub
 ):
     """Worklist grid: slot s of tile i processes the tile's s-th nearest
     ACTIVE chunk group (idx_ref[i, s]); the group block DMA is indexed
     through the prefetched id, so mostly-inactive tiles stop paying the
     dense grid's fixed per-step cost.  (t, tri) accumulate over the
-    previous pass's outputs (tmin0/tidx0 — +inf/0 on pass 1)."""
+    previous pass's outputs (tmin0/tidx0 — +inf/0 on pass 1).
+
+    With n_sub > 1 the activity words carry an n_sub-bit mask per chunk and
+    each (chunk, sub-tile) pair is predicated separately: only sub-tiles
+    whose 64-ray union enters the chunk pay the pair test (~2x less ALU on
+    enclosed-scene secondaries than whole-tile gating, probe_granularity).
+    """
     i = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -411,15 +496,25 @@ def _kernel_pass(
     d0 = rays[:, 4:8]
     live = s < cnt_ref[i, 0]
     jg = idx_ref[i, s]
+    cpw = 32 // n_sub  # chunks per activity word
+    rows = o1.shape[0] // n_sub
 
     for g in range(group):
         j = jg * group + g
-        word = active_ref[i, j // 32]
-        bit = (word >> (j % 32)) & 1
-
-        @pl.when(live & (bit > 0))
-        def _chunk(g=g, j=j):
-            _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst)
+        word = active_ref[i, j // cpw]
+        mask = (word >> (n_sub * (j % cpw))) & ((1 << n_sub) - 1)
+        if n_sub == 1:
+            @pl.when(live & (mask > 0))
+            def _chunk(g=g, j=j):
+                _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst)
+        else:
+            for st in range(n_sub):
+                @pl.when(live & (((mask >> st) & 1) > 0))
+                def _sub(g=g, j=j, st=st):
+                    _chunk_body_sub(
+                        o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, st, rows,
+                        min_dst,
+                    )
 
 
 @functools.partial(
@@ -447,6 +542,11 @@ def closest_hit_chunks(
     assert r % ray_tile == 0, (r, ray_tile)
     t_tiles = r // ray_tile
     group = group or _GROUP
+    # Sub-tile gating granularity (pair tests predicated per 64-ray
+    # sub-tile; probe_granularity sized the win).  Power-of-two divisor of
+    # ray_tile, at most 8 bits per chunk in the packed activity words.
+    sub_rows = _env_int("TPU_PT_SUB", 64)
+    n_sub = max(1, min(8, ray_tile // sub_rows)) if ray_tile % sub_rows == 0 else 1
 
     # Pad the chunk count to a group multiple with NaN blocks: NaN AABBs can
     # never pass the slab test, NaN Woop rows can never intersect.
@@ -488,9 +588,9 @@ def closest_hit_chunks(
         )
     # chunk_min was padded to cg*group rows above, so act/ent have exactly
     # cg*group columns.
-    act, ent = tile_chunk_activity(
+    act, ent, sub = tile_chunk_activity(
         rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
-        coarse_bits=cbits,
+        coarse_bits=cbits, n_sub=n_sub,
     )
     bits = _bitpack(act)
     out_shape = [
@@ -546,7 +646,9 @@ def closest_hit_chunks(
             out_specs=out_specs,
         )
         return pl.pallas_call(
-            functools.partial(_kernel_pass, min_dst=min_dst, group=group),
+            functools.partial(
+                _kernel_pass, min_dst=min_dst, group=group, n_sub=n_sub
+            ),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
@@ -572,7 +674,7 @@ def closest_hit_chunks(
         rows = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
         tested = jnp.zeros((t_tiles, cg), bool)
         t_cur, i_cur = tmin_inf, tidx_zero
-        act_p, bits_p = act, bits
+        act_p, bits_p = act, _pack_sub_bits(sub)
         for cap in near_caps:
             ga_p, _ = _group_stats(act_p, ent, group)
             ga_p = ga_p & ~tested
@@ -584,11 +686,11 @@ def closest_hit_chunks(
             # Recheck with the tightened per-ray bound; activity only
             # shrinks (the bound adds a conjunct), so retests are never
             # introduced and the final union is exact.
-            act_p, _ = tile_chunk_activity(
+            act_p, _, sub_p = tile_chunk_activity(
                 rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
-                tbest=t_cur[:, 0], coarse_bits=cbits,
+                tbest=t_cur[:, 0], coarse_bits=cbits, n_sub=n_sub,
             )
-            bits_p = _bitpack(act_p)
+            bits_p = _pack_sub_bits(sub_p)
 
         # Residual pass: everything still active and untested, front-to-back,
         # grid sized by a lax.switch over count buckets so one broad tile no
@@ -722,7 +824,7 @@ def light_pdf_sum_chunks(
         ],
         axis=1,
     )
-    act, ent = tile_chunk_activity(
+    act, ent, _ = tile_chunk_activity(
         rays, cluster_min, cluster_max, min_dst, ray_tile, interpret
     )
     # Group granularity == one cluster per worklist slot (the [12, CL] block
@@ -782,6 +884,33 @@ def light_pdf_sum_chunks(
         None,
     )
     return total[:, 0] / jnp.maximum(light_count, 1).astype(jnp.float32)
+
+
+def ray_sort_key_hint(
+    direction: jnp.ndarray,  # [R, 3]
+    alive: jnp.ndarray,  # [R] bool
+    hint: jnp.ndarray,  # [R] int32: spawn-surface chunk id, -1 = no hint
+    n_chunks: int,
+) -> jnp.ndarray:  # [R] int32
+    """Coherence key from the SURFACE the ray spawned on: direction octant
+    (major) x the Morton-ordered chunk id of the previous bounce's hit.
+
+    Chunks adapt to geometry (every id is 128 triangles of actual surface)
+    where the origin-cell grid (ray_sort_key) mostly indexes empty air, so
+    secondary wavefronts land in tiles whose chunk-activity unions are much
+    tighter — the dominant cost in enclosed scenes, where cosine-sampled
+    secondaries are maximally direction-incoherent (round-3 atrium sweep:
+    secondary intersect 150-188 ms vs 37 ms primary at 64k).  Hintless rays
+    (fresh primaries — all at the camera) share one bucket past the chunk
+    ids; dead rays sort last."""
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
+    )
+    bucket = jnp.clip(jnp.where(hint >= 0, hint, n_chunks), 0, n_chunks)
+    key = octant * (n_chunks + 1) + bucket
+    return jnp.where(alive, key, jnp.int32(1 << 28))
 
 
 def ray_sort_key(
