@@ -55,10 +55,15 @@ def main() -> int:
         print(json.dumps(kw), flush=True)
 
     textured = bool(os.environ.get("PROBE_TEXTURED"))
-    path = make_sphere_field_gltf(
-        "/tmp/probe_bounce/field.gltf", n_spheres=64, subdiv=3,
-        textured=textured,
-    )
+    if os.environ.get("PROBE_SCENE") == "atrium":
+        from tpu_pathtracer.utils.testscenes import make_atrium_gltf
+
+        path = make_atrium_gltf("/tmp/probe_bounce/at/a.gltf", detail=2)
+    else:
+        path = make_sphere_field_gltf(
+            "/tmp/probe_bounce/field.gltf", n_spheres=64, subdiv=3,
+            textured=textured,
+        )
     scene = parse_gltf_scene(path, 1.0)
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(512, 512))
     config = RenderConfig()

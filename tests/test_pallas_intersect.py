@@ -290,3 +290,46 @@ def test_activity_on_plane_zero_direction_component():
     np.testing.assert_allclose(
         np.asarray(hit.t), np.asarray(dense.t), rtol=1e-5
     )
+
+
+def test_iterating_residual_matches_dense(monkeypatch):
+    """Past the SMEM budget the residual runs as a while_loop of
+    budget-sized worklist passes with a best-t recheck between them
+    (whole-scene bit arrays overflowed SMEM at 820k tris).  Forced on via
+    TPU_PT_MAX_CAP with wide rays that keep many groups active, so several
+    iterations execute; must agree exactly with the dense oracle."""
+    import tpu_pathtracer.ops.pallas_intersect as pi
+
+    verts, valid = _scene(16000, seed=31, spread=20.0)  # 128 chunks
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+
+    rng = np.random.default_rng(32)
+    r = 256
+    o = rng.uniform(-24, 24, size=(r, 3)).astype(np.float32)
+    aim = rng.uniform(-12, 12, size=(r, 3)).astype(np.float32)
+    d = aim - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    kw = dict(min_dst=EPS, ray_tile=128, interpret=True)
+    dense = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), group=1, mode="dense", **kw,
+    )
+    monkeypatch.setenv("TPU_PT_MAX_CAP", "16")  # cg = 128 >> 16
+    closest_hit_chunks.clear_cache()
+    loop = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), group=1, mode="twopass", **kw,
+    )
+    assert np.asarray(dense.hit).sum() > 100
+    np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(loop.hit))
+    both = np.asarray(dense.hit)
+    np.testing.assert_array_equal(
+        np.asarray(loop.t)[both], np.asarray(dense.t)[both]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loop.tri)[both], np.asarray(dense.tri)[both]
+    )

@@ -43,7 +43,7 @@ from ..scene.types import Camera, TriangleScene
 # scene_closest_hit); env-overridable for on-chip A/B probes.
 import os as _os
 
-_NARROW_TILE_CHUNKS = int(_os.environ.get("TPU_PT_NARROW_TILE_CHUNKS", "1024"))
+_NARROW_TILE_CHUNKS = int(_os.environ.get("TPU_PT_NARROW_TILE_CHUNKS", "4096"))
 
 # Uniform draws consumed per ray per bounce (fixed-shape wavefront layout):
 # 0 alpha coin | 1 vndf coin | 2,3 vndf | 4 mixture pick | 5,6 cosine

@@ -30,23 +30,35 @@ farther subtree whenever the current best hit is closer
 (src/bvh.h:207-226: ``if (res && res->t < snd_dst) return;``).  Round 2 had
 no analog: every chunk ANY ray in a tile pierced was pair-tested against
 the whole tile even after every ray already held a nearer hit — measured at
-~25-50x redundant intersection ALU on sorted wavefronts.  The wavefront
-analog implemented here is a two-pass near/far split:
+~25-50x redundant intersection ALU on sorted wavefronts.  The design:
 
-  pass 1   per tile, test only the ``cap1`` NEAREST active chunk groups
-           (worklist sorted by tile AABB-entry distance — front-to-back,
-           like the ordered descent);
-  recheck  re-run the activity prepass with each ray's pass-1 best t as a
-           per-ray far bound: chunk c stays active for ray r only while
-           ``t_enter(r, c) <= t_best(r)`` — the exact prune condition, per
-           ray, so escape rays (t_best = inf) conservatively keep their
-           chunks and nothing is ever lost;
-  pass 2   test only still-active groups not already tested, worklist again
-           front-to-back, grid sized by a ``lax.switch`` over count buckets
-           (small residuals — the common case after a front-to-back pass —
-           run a grid a fraction of the round-2 dense fallback's size).
+  cascade    a ladder of small front-to-back worklist passes per tile
+             (nearest active chunk groups first, ordered by tile
+             AABB-entry distance), with the activity prepass RE-RUN
+             between passes using each ray's best t so far as a per-ray
+             far bound: ``t_enter(r, c) <= t_best(r)`` is the exact prune
+             condition, so far chunks are usually culled before they are
+             ever tested (escape rays keep t_best = inf, losing nothing);
+  sub-tiles  the activity kernel emits per-64-ray-sub-tile chunk bits in
+             the same pass, and the worklist kernel predicates each
+             (chunk, sub-tile) pair separately — on enclosed-scene
+             secondaries a 512-ray union activates ~388 chunks while a
+             64-ray union activates ~132 (probe_granularity), an ALU cut
+             direction-incoherent wavefronts cannot get from sorting;
+  masks      the kernel prefetches per-worklist-slot group masks
+             (take_along_axis by worklist ids), not whole-scene bit
+             arrays, so SMEM scales with worklist length, not chunk count
+             (whole-scene bits overflowed the 1 MB SMEM at 820k tris);
+  residual   everything still active and untested runs front-to-back in a
+             final pass sized by a ``lax.switch`` over count buckets;
+             scenes whose group count exceeds the SMEM budget iterate
+             budget-sized passes with a recheck between them until
+             nothing remains (replaces the round-2 global dense fallback);
+  super      one AABB per 512-chunk column block gates whole activity
+             steps from a prefetched coarse bit, so prepass cost scales
+             with pierced super-blocks, not total chunks.
 
-Both passes share one kernel that min-accumulates into (t, tri) outputs
+All passes share one kernel that min-accumulates into (t, tri) outputs
 initialized from the previous pass, so retests are idempotent and the
 result is exactly the full union of tested chunks.
 """
@@ -311,26 +323,32 @@ def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
 
 
-def _pack_sub_bits(sub: jnp.ndarray) -> jnp.ndarray:
-    """[T, n_sub, C] 0/1 -> [T, ceil(C/cpw)] int32 words, n_sub bits per
-    chunk (cpw = 32 // n_sub chunks per word): chunk c's sub-tile mask sits
-    at bit offset n_sub * (c % cpw).  The main kernel gates each
-    (chunk, sub-tile) pair on one of these bits."""
+def _pack_group_masks(sub: jnp.ndarray, group: int) -> jnp.ndarray:
+    """[T, n_sub, C] 0/1 -> [T, CG, W] int32 per-GROUP sub-tile masks
+    (W = ceil(group/4); chunk k of a group owns byte k%4 of word k//4; bit
+    st of that byte = sub-tile st active).  The worklist kernel prefetches
+    only the masks of its *selected* groups (take_along_axis by worklist
+    ids), so SMEM scales with worklist length — NOT with scene size (a
+    whole-scene bit array overflowed the 1 MB SMEM at 820k tris).
+    int32 products/sums wrap two's-complement, which is exactly bitwise
+    composition for these non-overlapping byte fields."""
     t_tiles, n_sub, c = sub.shape
-    cpw = 32 // n_sub
-    pad = (-c) % cpw
-    if pad:
-        sub = jnp.concatenate(
-            [sub, jnp.zeros((t_tiles, n_sub, pad), sub.dtype)], axis=2
-        )
-    c2 = sub.shape[2]
-    # [T, n_sub, c2] -> [T, c2, n_sub] -> [T, c2//cpw, cpw, n_sub]
-    b = jnp.transpose(sub, (0, 2, 1)).reshape(t_tiles, c2 // cpw, cpw, n_sub)
-    weights = (
-        1 << (jnp.arange(cpw, dtype=jnp.int32)[:, None] * n_sub
-              + jnp.arange(n_sub, dtype=jnp.int32)[None, :])
-    )
-    return jnp.sum(b.astype(jnp.int32) * weights[None, None], axis=(2, 3)).astype(jnp.int32)
+    cg = c // group
+    m8 = jnp.sum(
+        sub.astype(jnp.int32)
+        << jnp.arange(n_sub, dtype=jnp.int32)[None, :, None],
+        axis=1,
+    )  # [T, C] one 8-bit mask per chunk (n_sub <= 8)
+    w = -(-group // 4)
+    mg = m8.reshape(t_tiles, cg, group)
+    padg = 4 * w - group
+    if padg:
+        mg = jnp.pad(mg, ((0, 0), (0, 0), (0, padg)))
+    mg = mg.reshape(t_tiles, cg, w, 4)
+    weights = (1 << (8 * jnp.arange(4, dtype=jnp.int32)))
+    return jnp.sum(mg * weights[None, None, None, :], axis=-1).astype(
+        jnp.int32
+    )  # [T, CG, W]
 
 
 def _group_stats(act, ent, group):
@@ -469,7 +487,7 @@ def _kernel_dense(
 
 
 def _kernel_pass(
-    active_ref, idx_ref, cnt_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref,
+    idx_ref, cnt_ref, masks_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref,
     tmin_ref, tidx_ref, *, min_dst, group, n_sub
 ):
     """Worklist grid: slot s of tile i processes the tile's s-th nearest
@@ -478,11 +496,11 @@ def _kernel_pass(
     dense grid's fixed per-step cost.  (t, tri) accumulate over the
     previous pass's outputs (tmin0/tidx0 — +inf/0 on pass 1).
 
-    With n_sub > 1 the activity words carry an n_sub-bit mask per chunk and
-    each (chunk, sub-tile) pair is predicated separately: only sub-tiles
-    whose 64-ray union enters the chunk pay the pair test (~2x less ALU on
-    enclosed-scene secondaries than whole-tile gating, probe_granularity).
-    """
+    masks_ref[i, s, :] carries the selected group's per-chunk 8-bit
+    sub-tile masks (see _pack_group_masks): each (chunk, sub-tile) pair is
+    predicated separately, so only sub-tiles whose 64-ray union enters a
+    chunk pay the 128-wide pair test (~2x less ALU on enclosed-scene
+    secondaries than whole-tile gating, probe_granularity)."""
     i = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -496,13 +514,12 @@ def _kernel_pass(
     d0 = rays[:, 4:8]
     live = s < cnt_ref[i, 0]
     jg = idx_ref[i, s]
-    cpw = 32 // n_sub  # chunks per activity word
     rows = o1.shape[0] // n_sub
 
     for g in range(group):
         j = jg * group + g
-        word = active_ref[i, j // cpw]
-        mask = (word >> (n_sub * (j % cpw))) & ((1 << n_sub) - 1)
+        word = masks_ref[i, s, g // 4]
+        mask = (word >> (8 * (g % 4))) & 0xFF
         if n_sub == 1:
             @pl.when(live & (mask > 0))
             def _chunk(g=g, j=j):
@@ -629,16 +646,16 @@ def closest_hit_chunks(
             interpret=interpret,
         )(bits_, rays, tmin0, tidx0, chunk_woop)
 
-    def run_pass(bits_, idx, counts, tmin0, tidx0, cap):
+    def run_pass(masks_sel, idx, counts, tmin0, tidx0, cap):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # chunk bits + group ids + counts
+            num_scalar_prefetch=3,  # group ids + counts + per-slot masks
             grid=(t_tiles, cap),
             in_specs=[
                 ray_spec,
                 col_spec(),
                 col_spec(),
                 wc_spec(
-                    lambda i, s, bits_ref, idx_ref, cnt_ref: (
+                    lambda i, s, idx_ref, cnt_ref, masks_ref: (
                         idx_ref[i, s], 0, 0
                     )
                 ),
@@ -652,7 +669,7 @@ def closest_hit_chunks(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(bits_, idx, counts, rays, tmin0, tidx0, chunk_woop)
+        )(idx, counts, masks_sel, rays, tmin0, tidx0, chunk_woop)
 
     mode = mode or os.environ.get("TPU_PT_INTERSECT", "twopass")
     if mode == "dense":
@@ -667,20 +684,29 @@ def closest_hit_chunks(
         # ledger showed a single 12-group near pass covered ~75% of active
         # groups unbounded, leaving the prune almost nothing to do).
         if pass1_cap:
-            near_caps = [c_ for c_ in (pass1_cap, pass1_cap * 3) if c_ < cg]
+            ladder = (pass1_cap, pass1_cap * 3)
         else:
             base = max(_env_int("TPU_PT_PASS1_MIN", 4), cg // 64)
-            near_caps = [c_ for c_ in (base, base * 4) if c_ < cg]
+            ladder = tuple(
+                int(x) * base // 4
+                for x in os.environ.get("TPU_PT_NEAR", "4,16").split(",")
+            )
+        near_caps = [min(c_, cg) for c_ in ladder if c_ < cg]
         rows = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
         tested = jnp.zeros((t_tiles, cg), bool)
         t_cur, i_cur = tmin_inf, tidx_zero
-        act_p, bits_p = act, _pack_sub_bits(sub)
+        act_p, sub_p = act, sub
+
+        def select(masks_full, idx):
+            return jnp.take_along_axis(masks_full, idx[:, :, None], axis=1)
+
         for cap in near_caps:
             ga_p, _ = _group_stats(act_p, ent, group)
             ga_p = ga_p & ~tested
             idx_p, counts_p, _ = _worklist(ga_p, ge, cap)
             t_cur, i_cur = run_pass(
-                bits_p, idx_p, counts_p[:, None], t_cur, i_cur, cap
+                select(_pack_group_masks(sub_p, group), idx_p),
+                idx_p, counts_p[:, None], t_cur, i_cur, cap,
             )
             tested = tested.at[rows, idx_p].set(True)
             # Recheck with the tightened per-ray bound; activity only
@@ -690,36 +716,78 @@ def closest_hit_chunks(
                 rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
                 tbest=t_cur[:, 0], coarse_bits=cbits, n_sub=n_sub,
             )
-            bits_p = _pack_sub_bits(sub_p)
 
-        # Residual pass: everything still active and untested, front-to-back,
-        # grid sized by a lax.switch over count buckets so one broad tile no
-        # longer drags every tile through a full-width grid (the round-2
-        # global dense fallback, VERDICT missing item).
-        ga_r, _ = _group_stats(act_p, ent, group)
-        ga_r = ga_r & ~tested
-        idx_r, counts_r, full_r = _worklist(ga_r, ge, cg)
-        caps = sorted({min(cg, max(4, -(-cg // 8))),
-                       min(cg, max(8, -(-cg // 3))), cg})
-        m = jnp.max(full_r)
-
-        def bucket(cap):
-            def run(_):
-                return run_pass(
-                    bits_p, idx_r[:, :cap],
-                    jnp.minimum(counts_r, cap)[:, None], t_cur, i_cur, cap,
-                )
-            return run
-
-        branch = jnp.searchsorted(jnp.asarray(caps, jnp.int32), m)
-        t_best, tri = jax.lax.cond(
-            m > 0,
-            lambda _: jax.lax.switch(
-                branch, [bucket(cap) for cap in caps], None
-            ),
-            lambda _: (t_cur, i_cur),
-            None,
+        # Residual: everything still active and untested, front-to-back.
+        # SMEM budget bounds the worklist a single grid can prefetch
+        # (~600 KB: idx + masks per slot per tile), independent of scene
+        # size — the round-2 whole-scene bit arrays overflowed SMEM at 820k
+        # tris.  Small scenes run ONE residual pass with lax.switch-bucketed
+        # caps (one broad tile no longer drags every tile through a
+        # full-width grid — the round-2 global dense fallback); scenes whose
+        # group count exceeds the budget iterate budget-sized passes with a
+        # best-t recheck between them until no active untested group
+        # remains (each iteration tests >= min(m, max_cap) groups, so it
+        # terminates; in practice the recheck collapses the residual).
+        w_words = -(-group // 4)
+        max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
+            16, 600_000 // t_tiles // (4 + 4 * w_words)
         )
+
+        def resid_state(t_c, i_c, tested_, act_, sub_):
+            ga_r, _ = _group_stats(act_, ent, group)
+            ga_r = ga_r & ~tested_
+            cap_r = min(cg, max_cap)
+            idx_r, counts_r, full_r = _worklist(ga_r, ge, cap_r)
+            masks_r = select(_pack_group_masks(sub_, group), idx_r)
+            return idx_r, counts_r, masks_r, jnp.max(full_r)
+
+        idx_r, counts_r, masks_r, m = resid_state(
+            t_cur, i_cur, tested, act_p, sub_p
+        )
+        if cg <= max_cap:
+            caps = sorted({min(cg, max(4, -(-cg // 8))),
+                           min(cg, max(8, -(-cg // 3))), cg})
+
+            def bucket(cap):
+                def run(_):
+                    return run_pass(
+                        masks_r[:, :cap], idx_r[:, :cap],
+                        jnp.minimum(counts_r, cap)[:, None], t_cur, i_cur,
+                        cap,
+                    )
+                return run
+
+            branch = jnp.searchsorted(jnp.asarray(caps, jnp.int32), m)
+            t_best, tri = jax.lax.cond(
+                m > 0,
+                lambda _: jax.lax.switch(
+                    branch, [bucket(cap) for cap in caps], None
+                ),
+                lambda _: (t_cur, i_cur),
+                None,
+            )
+        else:
+            def cond(st):
+                return st[6] > 0
+
+            def body(st):
+                t_c, i_c, tested_, idx_c, counts_c, masks_c, _m = st
+                t_c, i_c = run_pass(
+                    masks_c, idx_c, counts_c[:, None], t_c, i_c,
+                    min(cg, max_cap),
+                )
+                tested_ = tested_.at[rows, idx_c].set(True)
+                act_n, _, sub_n = tile_chunk_activity(
+                    rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
+                    tbest=t_c[:, 0], coarse_bits=cbits, n_sub=n_sub,
+                )
+                idx_n, counts_n, masks_n, m_n = resid_state(
+                    t_c, i_c, tested_, act_n, sub_n
+                )
+                return (t_c, i_c, tested_, idx_n, counts_n, masks_n, m_n)
+
+            state = (t_cur, i_cur, tested, idx_r, counts_r, masks_r, m)
+            t_best, tri = jax.lax.while_loop(cond, body, state)[:2]
 
     t_best = t_best[:, 0]
     tri = tri[:, 0]
