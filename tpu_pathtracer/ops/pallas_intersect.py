@@ -487,20 +487,28 @@ def _kernel_dense(
 
 
 def _kernel_pass(
-    idx_ref, cnt_ref, masks_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref,
-    tmin_ref, tidx_ref, *, min_dst, group, n_sub
+    wl_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref,
+    tmin_ref, tidx_ref, *, min_dst, group, n_sub, cap
 ):
     """Worklist grid: slot s of tile i processes the tile's s-th nearest
-    ACTIVE chunk group (idx_ref[i, s]); the group block DMA is indexed
-    through the prefetched id, so mostly-inactive tiles stop paying the
-    dense grid's fixed per-step cost.  (t, tri) accumulate over the
-    previous pass's outputs (tmin0/tidx0 — +inf/0 on pass 1).
+    ACTIVE chunk group; the group block DMA is indexed through the
+    prefetched id, so mostly-inactive tiles stop paying the dense grid's
+    fixed per-step cost.  (t, tri) accumulate over the previous pass's
+    outputs (tmin0/tidx0 — +inf/0 on pass 1).
 
-    masks_ref[i, s, :] carries the selected group's per-chunk 8-bit
-    sub-tile masks (see _pack_group_masks): each (chunk, sub-tile) pair is
-    predicated separately, so only sub-tiles whose 64-ray union enters a
-    chunk pay the 128-wide pair test (~2x less ALU on enclosed-scene
-    secondaries than whole-tile gating, probe_granularity)."""
+    ``wl_ref`` is ONE merged scalar-prefetch row per tile (see
+    _pack_worklist): [count | cap group ids | cap*W mask words].  Merged
+    because prefetched SMEM operands are lane-padded — the LAST dim is
+    padded to 128, so a [T, cap, 2] masks array allocates 64x its nominal
+    bytes and a (count, idx, masks) triple pays three separate 64 KB+
+    floors; one wide row pays the padding once (the round-3 "SMEM-bounded"
+    layout still blew the 1 MB SMEM on chip this way).
+
+    The mask words carry the selected group's per-chunk 8-bit sub-tile
+    masks (_pack_group_masks): each (chunk, sub-tile) pair is predicated
+    separately, so only sub-tiles whose 64-ray union enters a chunk pay
+    the 128-wide pair test (~2x less ALU on enclosed-scene secondaries
+    than whole-tile gating, probe_granularity)."""
     i = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -512,13 +520,15 @@ def _kernel_pass(
     rays = rays_ref[:]  # [RT, 8]
     o1 = rays[:, 0:4]
     d0 = rays[:, 4:8]
-    live = s < cnt_ref[i, 0]
-    jg = idx_ref[i, s]
+    live = s < wl_ref[i, 0]
+    jg = wl_ref[i, 1 + s]
+    w_words = -(-group // 4)
+    mask_base = 1 + cap + s * w_words
     rows = o1.shape[0] // n_sub
 
     for g in range(group):
         j = jg * group + g
-        word = masks_ref[i, s, g // 4]
+        word = wl_ref[i, mask_base + g // 4]
         mask = (word >> (8 * (g % 4))) & 0xFF
         if n_sub == 1:
             @pl.when(live & (mask > 0))
@@ -647,29 +657,39 @@ def closest_hit_chunks(
         )(bits_, rays, tmin0, tidx0, chunk_woop)
 
     def run_pass(masks_sel, idx, counts, tmin0, tidx0, cap):
+        # ONE merged prefetch row per tile: [count | ids | mask words].
+        # Prefetched SMEM operands are lane-padded (last dim -> 128), so
+        # separate (idx, counts, masks) operands each pay a 64 KB+ floor
+        # and a [T, cap, W] mask array allocates 64x its nominal size —
+        # measured on chip: 1 MB for s32[128,16,2], the whole SMEM.
+        wl = jnp.concatenate(
+            [
+                counts.reshape(t_tiles, 1),
+                idx,
+                masks_sel.reshape(t_tiles, cap * (-(-group // 4))),
+            ],
+            axis=1,
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # group ids + counts + per-slot masks
+            num_scalar_prefetch=1,  # the merged worklist row
             grid=(t_tiles, cap),
             in_specs=[
                 ray_spec,
                 col_spec(),
                 col_spec(),
-                wc_spec(
-                    lambda i, s, idx_ref, cnt_ref, masks_ref: (
-                        idx_ref[i, s], 0, 0
-                    )
-                ),
+                wc_spec(lambda i, s, wl_ref: (wl_ref[i, 1 + s], 0, 0)),
             ],
             out_specs=out_specs,
         )
         return pl.pallas_call(
             functools.partial(
-                _kernel_pass, min_dst=min_dst, group=group, n_sub=n_sub
+                _kernel_pass, min_dst=min_dst, group=group, n_sub=n_sub,
+                cap=cap,
             ),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(idx, counts, masks_sel, rays, tmin0, tidx0, chunk_woop)
+        )(wl, rays, tmin0, tidx0, chunk_woop)
 
     mode = mode or os.environ.get("TPU_PT_INTERSECT", "twopass")
     if mode == "dense":
@@ -718,19 +738,21 @@ def closest_hit_chunks(
             )
 
         # Residual: everything still active and untested, front-to-back.
-        # SMEM budget bounds the worklist a single grid can prefetch
-        # (~600 KB: idx + masks per slot per tile), independent of scene
-        # size — the round-2 whole-scene bit arrays overflowed SMEM at 820k
-        # tris.  Small scenes run ONE residual pass with lax.switch-bucketed
-        # caps (one broad tile no longer drags every tile through a
-        # full-width grid — the round-2 global dense fallback); scenes whose
-        # group count exceeds the budget iterate budget-sized passes with a
-        # best-t recheck between them until no active untested group
-        # remains (each iteration tests >= min(m, max_cap) groups, so it
-        # terminates; in practice the recheck collapses the residual).
+        # SMEM budget bounds the worklist a single grid can prefetch,
+        # independent of scene size — the round-2 whole-scene bit arrays
+        # overflowed SMEM at 820k tris.  Budgeted in PADDED bytes: the
+        # merged [T, 1 + cap + cap*W] row's last dim lane-pads to the next
+        # 128 multiple, 4 bytes per word, ~600 KB of the 1 MB SMEM.  Small
+        # scenes run ONE residual pass with lax.switch-bucketed caps (one
+        # broad tile no longer drags every tile through a full-width grid —
+        # the round-2 global dense fallback); scenes whose group count
+        # exceeds the budget iterate budget-sized passes with a best-t
+        # recheck between them until no active untested group remains (each
+        # iteration tests >= min(m, max_cap) groups, so it terminates; in
+        # practice the recheck collapses the residual).
         w_words = -(-group // 4)
         max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
-            16, 600_000 // t_tiles // (4 + 4 * w_words)
+            16, (600_000 // (4 * t_tiles) - 128) // (1 + w_words)
         )
 
         def resid_state(t_c, i_c, tested_, act_, sub_):
@@ -813,7 +835,7 @@ def closest_hit_chunks(
 
 
 def _kernel_light_pdf(
-    idx_ref, cnt_ref, rays_ref, wc_ref, k_ref, sum_ref, *, min_dst
+    wl_ref, rays_ref, wc_ref, k_ref, sum_ref, *, min_dst
 ):
     """Worklist grid over light clusters: slot s of tile i accumulates the
     all-hits pdf projection terms of its s-th pierced cluster into a [RT, 1]
@@ -832,7 +854,7 @@ def _kernel_light_pdf(
     o1 = rays[:, 0:4]
     d0 = rays[:, 4:8]
     d2 = jnp.sum(d0 * d0, axis=1, keepdims=True)  # |d|^2 (4th comp is 0)
-    live = s < cnt_ref[i, 0]
+    live = s < wl_ref[i, 0]  # merged [count | ids] row (lane-padding tax)
 
     @pl.when(live)
     def _cluster():
@@ -909,19 +931,28 @@ def light_pdf_sum_chunks(
 
     def run(cap):
         def go(_):
+            # Merged [count | ids] prefetch row (see _kernel_pass: separate
+            # prefetched operands each pay a lane-padded 64 KB+ SMEM floor).
+            wl = jnp.concatenate(
+                [
+                    jnp.minimum(counts_full, cap)[:, None],
+                    idx_full[:, :cap],
+                ],
+                axis=1,
+            )
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,  # cluster ids + counts
+                num_scalar_prefetch=1,
                 grid=(t_tiles, cap),
                 in_specs=[
                     ray_spec,
                     pl.BlockSpec(
                         (1, 12, cluster_woop.shape[-1]),
-                        lambda i, s, idx_ref, cnt_ref: (idx_ref[i, s], 0, 0),
+                        lambda i, s, wl_ref: (wl_ref[i, 1 + s], 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
                         (1, cluster_k.shape[-1]),
-                        lambda i, s, idx_ref, cnt_ref: (idx_ref[i, s], 0),
+                        lambda i, s, wl_ref: (wl_ref[i, 1 + s], 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
@@ -935,13 +966,7 @@ def light_pdf_sum_chunks(
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=interpret,
-            )(
-                idx_full[:, :cap],
-                jnp.minimum(counts_full, cap)[:, None],
-                rays,
-                cluster_woop,
-                cluster_k,
-            )
+            )(wl, rays, cluster_woop, cluster_k)
         return go
 
     branch = jnp.searchsorted(jnp.asarray(caps, jnp.int32), m)
