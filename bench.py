@@ -68,7 +68,8 @@ def main() -> int:
     # On-chip sweep winner (scripts/probe_render.py): 64k-ray wavefronts,
     # whole-bench-spp passes.
     config = RenderConfig(
-        rays_per_batch=1 << 16, spp_per_pass=max(SPP, 1),
+        rays_per_batch=int(os.environ.get("BENCH_RPB", 1 << 16)),
+        spp_per_pass=max(SPP, 1),
         sort_key=os.environ.get("BENCH_SORT", "hint"),
     )
     tmp = tempfile.mkdtemp(prefix="bench_scene_")

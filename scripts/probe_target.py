@@ -124,11 +124,13 @@ def main() -> int:
         + (d1[:, 2] > 0).astype(jnp.int32)
     )
     dead = jnp.int32(1 << 28)
+    tgtg = jnp.where(tgt < c, tgt // 8, c // 8)  # worklist-group granularity
     keys = {
         "hint": ray_sort_key_hint(d1, alive, hint, c),
         "cell": ray_sort_key(o1, d1, alive, scene_lo, scene_hi),
         "target": jnp.where(alive, tgt, dead),
         "target_oct": jnp.where(alive, tgt * 8 + octant, dead),
+        "tgtgroup_oct": jnp.where(alive, tgtg * 8 + octant, dead),
         "oct_target": jnp.where(alive, octant * (c + 1) + tgt, dead),
         "hint_target": jnp.where(
             alive, hint * (c + 1) + tgt, dead

@@ -333,3 +333,95 @@ def test_iterating_residual_matches_dense(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(loop.tri)[both], np.asarray(dense.tri)[both]
     )
+
+
+def test_nearest_box_ids_matches_dense_argmin():
+    """The target-sort-key kernel's argmin box id equals a dense jnp oracle
+    (entry-distance ties may pick either id — compared by entry t)."""
+    from tpu_pathtracer.ops.pallas_intersect import (
+        group_boxes,
+        nearest_box_ids,
+        ray_sort_key_target,
+    )
+
+    rng = np.random.default_rng(7)
+    c = 37
+    cmin = rng.uniform(-5, 4, size=(c, 3)).astype(np.float32)
+    cmax = cmin + rng.uniform(0.1, 1.5, size=(c, 3)).astype(np.float32)
+    glo, ghi = group_boxes(jnp.asarray(cmin), jnp.asarray(cmax))
+    assert glo.shape == (-(-c // 8), 3)
+    # Group boxes bound their member chunks.
+    glo_np, ghi_np = np.asarray(glo), np.asarray(ghi)
+    for g in range(c // 8):
+        assert (glo_np[g] <= cmin[g * 8 : (g + 1) * 8]).all()
+        assert (ghi_np[g] >= cmax[g * 8 : (g + 1) * 8]).all()
+
+    r = 512
+    o = rng.uniform(-6, 6, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ids = np.asarray(
+        nearest_box_ids(
+            jnp.asarray(o), jnp.asarray(d), glo, ghi, EPS,
+            ray_tile=128, interpret=True,
+        )
+    )
+
+    inv = 1.0 / np.where(d == 0, 1e-30, d)
+    t1 = (glo_np[None] - o[:, None]) * inv[:, None]
+    t2 = (ghi_np[None] - o[:, None]) * inv[:, None]
+    lo = np.nanmax(np.minimum(t1, t2), axis=-1)
+    hi = np.nanmin(np.maximum(t1, t2), axis=-1)
+    ok = (lo <= hi) & (hi >= EPS)
+    entry = np.where(ok, np.maximum(lo, EPS), np.inf)
+    ref_t = entry.min(axis=1)
+    for i in range(r):
+        if np.isinf(ref_t[i]):
+            assert ids[i] == -1
+        else:
+            assert ids[i] >= 0 and np.isclose(entry[i, ids[i]], ref_t[i])
+
+    alive = rng.random(r) < 0.9
+    key = np.asarray(
+        ray_sort_key_target(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(alive), glo, ghi,
+            EPS, ray_tile=128, interpret=True,
+        )
+    )
+    assert (key[~alive] == (1 << 28)).all()
+    live = key[alive]
+    # Live keys are bucket*8 + octant with bucket <= group count.
+    assert live.min() >= 0 and live.max() < (glo.shape[0] + 1) * 8
+
+
+def test_chunk_width_64_matches_dense():
+    """The kernels read chunk width from chunk_woop.shape[-1]; a 64-tri
+    packing (TPU_PT_CHUNK_TRIS sweep value) must agree with the dense sweep
+    exactly like the default 128."""
+    verts, valid = _scene(2000, seed=9)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, 64 // LEAF_SIZE)
+    cw = build_chunk_woop(woop, 64)
+    assert cw.shape[-1] == 64
+
+    rng = np.random.default_rng(10)
+    r = 256
+    o = rng.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    dense = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(woop), EPS)
+    pk = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), EPS, ray_tile=128,
+        interpret=True,
+    )
+    hd, hp = np.asarray(dense.hit), np.asarray(pk.hit)
+    assert (hd == hp).mean() > 0.995
+    both = hd & hp
+    np.testing.assert_allclose(
+        np.asarray(pk.t)[both], np.asarray(dense.t)[both], rtol=1e-5,
+        atol=1e-6,
+    )
+    assert (np.asarray(pk.tri)[both] == np.asarray(dense.tri)[both]).mean() > 0.99

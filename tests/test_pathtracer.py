@@ -260,3 +260,27 @@ def test_chunk_retry_recovers_exactly(tmp_path, monkeypatch):
     monkeypatch.setattr(pt, "render_chunk_persistent", flaky_engine)
     got = render(scene, spp=3, seed=4)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sort_keys_observationally_free(tmp_path):
+    """Wavefront ray sorting is a pure perf knob: every sort_key policy
+    (hint / cell / target) renders the bit-identical image, because per-pixel
+    counter RNG makes ray order irrelevant to each path's draws.  Engages the
+    real sort path: scene capacity > 1024 and wavefront width >= 2048."""
+    from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
+
+    p = make_sphere_field_gltf(
+        str(tmp_path / "field.gltf"), n_spheres=4, subdiv=2
+    )
+    scene = parse_gltf_scene(p, 2.0)
+    scene = dataclasses.replace(
+        scene, camera=scene.camera.with_dims(64, 32), ray_depth=3
+    )
+    assert scene.capacity > 1024
+    imgs = [
+        render(scene, spp=1, seed=5, config=RenderConfig(sort_key=k))
+        for k in ("hint", "cell", "target")
+    ]
+    assert np.isfinite(imgs[0]).all() and imgs[0].max() > 0.01
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])

@@ -78,8 +78,11 @@ class RenderConfig:
     # octant x the Morton chunk id of the surface the ray spawned from
     # (surface-adaptive — much tighter tile unions for incoherent enclosed
     # secondaries); "cell": direction octant x 16^3 Morton origin cell (the
-    # round-2 key, kept for A/B probes).  Purely a perf knob: sorting is
-    # observationally free (per-pixel counter RNG).
+    # round-2 key, kept for A/B probes); "target": the worklist group each
+    # ray will FIRST ENTER (Pallas argmin of slab entry over group AABBs) x
+    # octant — geometry-aware, tracks where the ray is GOING rather than
+    # where it spawned.  Purely a perf knob: sorting is observationally
+    # free (per-pixel counter RNG).
     sort_key: str = "hint"
 
     # Wavefront engine: True = persistent wavefront with path regeneration

@@ -351,11 +351,65 @@ def bounce_step(
     d = where3(cont, new_dir, d)
     alive = moved
     # Sort hint for the NEXT bounce: the Morton chunk id of the surface the
-    # ray now spawns from (ray_sort_key_hint); -1 where dead/invalid.
-    from ..ops.pallas_intersect import CHUNK_TRIS
-
-    hint = jnp.where(moved, hit.tri // CHUNK_TRIS, -1)
+    # ray now spawns from (ray_sort_key_hint); -1 where dead/invalid.  The
+    # chunk width comes from the scene's packed blocks (env-sweepable).
+    chunk_tris = scene.chunk_woop.shape[-1]
+    hint = jnp.where(moved, hit.tri // chunk_tris, -1)
     return o, d, throughput, radiance, alive, hint
+
+
+def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
+    """Build the per-bounce wavefront coherence key fn for ray sorting.
+
+    config.sort_key selects the policy (see config.py):
+      "hint"   — direction octant x spawn-surface chunk id (cheap).
+      "cell"   — direction octant x Morton origin cell (round-2 key).
+      "target" — the worklist GROUP each ray will first enter (Pallas
+                 argmin of slab entry distance over group AABBs, major) x
+                 direction octant (minor).  Geometry-aware: rays sharing
+                 their first group share the front of their front-to-back
+                 worklists, so tile unions track the per-ray truth in a way
+                 no spawn-surface key can.
+    Returns key_fn(o, d, alive, hint) -> [r] int32 (dead rays sort last).
+    """
+    from ..ops.pallas_intersect import (
+        RAY_TILE,
+        group_boxes,
+        ray_sort_key,
+        ray_sort_key_hint,
+        ray_sort_key_target,
+    )
+
+    if config.sort_key == "target":
+        g_lo, g_hi = group_boxes(scene.chunk_aabb_min, scene.chunk_aabb_max)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        pad = (-r) % RAY_TILE
+
+        def key_fn(o, d, alive, hint):
+            del hint
+            if pad:
+                o = jnp.concatenate([o, jnp.full((pad, 3), 1e30, o.dtype)])
+                d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+                alive = jnp.concatenate(
+                    [alive, jnp.zeros((pad,), alive.dtype)]
+                )
+            k = ray_sort_key_target(
+                o, d, alive, g_lo, g_hi, config.eps, interpret=interpret
+            )
+            return k[:r]
+
+        return key_fn
+
+    scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
+    scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
+    n_chunks = scene.chunk_woop.shape[0]
+
+    def key_fn(o, d, alive, hint):
+        if config.sort_key == "hint":
+            return ray_sort_key_hint(d, alive, hint, n_chunks)
+        return ray_sort_key(o, d, alive, scene_lo, scene_hi)
+
+    return key_fn
 
 
 def trace(
@@ -375,16 +429,7 @@ def trace(
     # free; the carried slot array recovers the output order.
     sort_rays = scene.capacity > 1024 and r >= 2048
     if sort_rays:
-        scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
-        scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
-        n_chunks = scene.chunk_woop.shape[0]
-
-    def sort_key(o, d, alive, hint):
-        from ..ops.pallas_intersect import ray_sort_key, ray_sort_key_hint
-
-        if config.sort_key == "hint":
-            return ray_sort_key_hint(d, alive, hint, n_chunks)
-        return ray_sort_key(o, d, alive, scene_lo, scene_hi)
+        sort_key = _make_sort_key(scene, config, r)
 
     def bounce(carry, bounce_idx):
         o, d, throughput, radiance, alive, pids, slot, hint = carry
@@ -505,16 +550,7 @@ def persistent_accum(
     w_total = jnp.asarray(w_total, jnp.int32)
     sort_rays = scene.capacity > 1024 and n_rays >= 2048
     if sort_rays:
-        scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
-        scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
-        n_chunks = scene.chunk_woop.shape[0]
-
-    def sort_key(o, d, alive, hint):
-        from ..ops.pallas_intersect import ray_sort_key, ray_sort_key_hint
-
-        if config.sort_key == "hint":
-            return ray_sort_key_hint(d, alive, hint, n_chunks)
-        return ray_sort_key(o, d, alive, scene_lo, scene_hi)
+        sort_key = _make_sort_key(scene, config, n_rays)
 
     def spawn(work_ids, valid):
         """Primary rays for work ids (sample-major order)."""

@@ -979,6 +979,165 @@ def light_pdf_sum_chunks(
     return total[:, 0] / jnp.maximum(light_count, 1).astype(jnp.float32)
 
 
+def _nearest_kernel(rays_ref, aabb_ref, tmin_ref, arg_ref, *, min_dst):
+    """Per-ray argmin of AABB entry distance over column blocks: grid step
+    (i, b) tests ray tile i against AABB column block b, min-accumulating
+    (entry t, column id) into the [RT, 1] outputs (b is the inner grid dim,
+    so a tile's output block stays resident until all its b steps ran)."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        tmin_ref[:] = jnp.full_like(tmin_ref, jnp.inf)
+        arg_ref[:] = jnp.full_like(arg_ref, -1)
+
+    rays = rays_ref[:]  # [RT, 8]
+    t_lo = None
+    t_hi = None
+    for a in range(3):
+        o = rays[:, a : a + 1]
+        d = rays[:, 4 + a : 5 + a]
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)  # see _activity_body
+        t1 = (aabb_ref[a, :][None, :] - o) * inv
+        t2 = (aabb_ref[3 + a, :][None, :] - o) * inv
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        t_lo = lo if t_lo is None else jnp.maximum(t_lo, lo)
+        t_hi = hi if t_hi is None else jnp.minimum(t_hi, hi)
+    ok = (t_lo <= t_hi) & (t_hi >= min_dst)
+    entry = jnp.where(ok, jnp.maximum(t_lo, min_dst), jnp.inf)
+    bm = jnp.min(entry, axis=1, keepdims=True)  # [RT, 1]
+    ba = (
+        jnp.argmin(entry, axis=1).astype(jnp.int32)
+        + b * entry.shape[-1]
+    )[:, None]
+    cur = tmin_ref[:]
+    better = bm < cur
+    tmin_ref[:] = jnp.where(better, bm, cur)
+    arg_ref[:] = jnp.where(better & jnp.isfinite(bm), ba, arg_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret")
+)
+def nearest_box_ids(
+    origin: jnp.ndarray,  # [R, 3], R % ray_tile == 0
+    direction: jnp.ndarray,  # [R, 3]
+    box_min: jnp.ndarray,  # [G, 3] (NaN rows never match)
+    box_max: jnp.ndarray,  # [G, 3]
+    min_dst: float,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [R] int32: argmin entry-distance box id, -1 = none
+    """The FIRST box each ray enters (argmin of slab entry distance) — the
+    geometry-aware coherence key: rays sharing their first worklist group
+    share the front of their front-to-back worklists, so sorting by this id
+    drops tile-union inflation in a way no spawn-surface key can
+    (ray_sort_key_hint keys on where the ray LEFT, not where it will land).
+    Runs at worklist-group granularity (G = n_chunks/group boxes), ~1/8 the
+    cost of the chunk-level activity prepass."""
+    r = origin.shape[0]
+    g = box_min.shape[0]
+    assert r % ray_tile == 0, (r, ray_tile)
+    t_tiles = r // ray_tile
+    gpad = -(-g // _ACT_COLS) * _ACT_COLS
+    pad = gpad - g
+    if pad:
+        box_min = jnp.concatenate(
+            [box_min, jnp.full((pad, 3), jnp.nan, box_min.dtype)]
+        )
+        box_max = jnp.concatenate(
+            [box_max, jnp.full((pad, 3), jnp.nan, box_max.dtype)]
+        )
+    aabb_rows = jnp.concatenate(
+        [box_min.T, box_max.T, jnp.zeros((2, gpad), box_min.dtype)], axis=0
+    )  # [8, gpad]
+    rays = jnp.concatenate(
+        [
+            origin,
+            jnp.ones((r, 1), origin.dtype),
+            direction,
+            jnp.zeros((r, 1), origin.dtype),
+        ],
+        axis=1,
+    )
+    tmin, arg = pl.pallas_call(
+        functools.partial(_nearest_kernel, min_dst=min_dst),
+        grid=(t_tiles, gpad // _ACT_COLS),
+        in_specs=[
+            pl.BlockSpec(
+                (ray_tile, 8), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, _ACT_COLS), lambda i, b: (0, b), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (ray_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ray_tile, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, aabb_rows)
+    del tmin
+    return arg[:, 0]
+
+
+def group_boxes(
+    chunk_min: jnp.ndarray, chunk_max: jnp.ndarray, group: int = _GROUP
+):
+    """Chunk AABBs -> worklist-group AABBs (NaN pad rows vanish; an all-NaN
+    group yields a NaN box, which no slab test matches)."""
+    c = chunk_min.shape[0]
+    pad = (-c) % group
+    if pad:
+        chunk_min = jnp.concatenate(
+            [chunk_min, jnp.full((pad, 3), jnp.nan, chunk_min.dtype)]
+        )
+        chunk_max = jnp.concatenate(
+            [chunk_max, jnp.full((pad, 3), jnp.nan, chunk_max.dtype)]
+        )
+    cg = chunk_min.shape[0] // group
+    return (
+        jnp.nanmin(chunk_min.reshape(cg, group, 3), axis=1),
+        jnp.nanmax(chunk_max.reshape(cg, group, 3), axis=1),
+    )
+
+
+def ray_sort_key_target(
+    origin: jnp.ndarray,  # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    alive: jnp.ndarray,  # [R] bool
+    group_min: jnp.ndarray,  # [G, 3] worklist-group AABBs
+    group_max: jnp.ndarray,
+    min_dst: float,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [R] int32
+    """Coherence key from the group each ray will FIRST ENTER (nearest_box
+    argmin), direction octant as the minor tiebreak.  Rays that enter
+    nothing (env escapes) share one bucket before the dead bucket."""
+    g = group_min.shape[0]
+    tgt = nearest_box_ids(
+        origin, direction, group_min, group_max, min_dst, ray_tile, interpret
+    )
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
+    )
+    bucket = jnp.where(tgt >= 0, tgt, g)
+    key = bucket * 8 + octant
+    return jnp.where(alive, key, jnp.int32(1 << 28))
+
+
 def ray_sort_key_hint(
     direction: jnp.ndarray,  # [R, 3]
     alive: jnp.ndarray,  # [R] bool

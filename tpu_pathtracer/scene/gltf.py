@@ -557,8 +557,14 @@ def _pack_triangle_scene(
     from ..ops.pallas_intersect import CHUNK_TRIS, build_chunk_woop
     from .accel import chunk_aabbs
 
-    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
-    cw = build_chunk_woop(woop_cols)
+    # Chunk width: the intersector's ALU unit is (sub-tile x chunk); a
+    # narrower chunk tests fewer triangles per activated pair at the cost
+    # of more chunks (prepass/worklist columns).  Env knob for on-chip
+    # sweeps; must be a LEAF_SIZE multiple (kernels read the width from
+    # chunk_woop.shape[-1], so any multiple of 16 compiles).
+    chunk_tris = int(os.environ.get("TPU_PT_CHUNK_TRIS", CHUNK_TRIS))
+    cmin, cmax = chunk_aabbs(lmin, lmax, chunk_tris // LEAF_SIZE)
+    cw = build_chunk_woop(woop_cols, chunk_tris)
 
     shade_attrs = np.zeros((cap, 48), dtype=np.float32)
     shade_attrs[:, 0:9] = verts.reshape(cap, 9)
