@@ -82,6 +82,43 @@ def main() -> int:
         ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= 1e-4)
         return jnp.where(ok, t, jnp.inf)
 
+    def body_fma_spec(o1, d0, w, dtype):
+        # The shipped specialized form: o.w = 1 (constant-row add),
+        # d.w = 0 (row dropped).
+        def co(x, r0):
+            acc = x[:, 0:1] * w[r0, :][None, :] + w[r0 + 3, :][None, :]
+            acc = acc + x[:, 1:2] * w[r0 + 1, :][None, :]
+            return acc + x[:, 2:3] * w[r0 + 2, :][None, :]
+
+        def cd(x, r0):
+            acc = x[:, 0:1] * w[r0, :][None, :]
+            acc = acc + x[:, 1:2] * w[r0 + 1, :][None, :]
+            return acc + x[:, 2:3] * w[r0 + 2, :][None, :]
+
+        p0, p1, p2 = co(o1, 0), co(o1, 4), co(o1, 8)
+        q0, q1, q2 = cd(d0, 0), cd(d0, 4), cd(d0, 8)
+        t = -p2 / q2
+        beta = p0 + t * q0
+        gamma = p1 + t * q1
+        ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= 1e-4)
+        return jnp.where(ok, t, jnp.inf)
+
+    def body_fma_nodiv(o1, d0, w, dtype):
+        # TIMING-ONLY variant (wrong math): t = -p2 * q2 instead of the
+        # divide, to isolate the f32 division's share of the pair test.
+        def cd(x, r0):
+            acc = x[:, 0:1] * w[r0, :][None, :]
+            acc = acc + x[:, 1:2] * w[r0 + 1, :][None, :]
+            return acc + x[:, 2:3] * w[r0 + 2, :][None, :]
+
+        p0, p1, p2 = cd(o1, 0), cd(o1, 4), cd(o1, 8)
+        q0, q1, q2 = cd(d0, 0), cd(d0, 4), cd(d0, 8)
+        t = -p2 * q2
+        beta = p0 + t * q0
+        gamma = p1 + t * q1
+        ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= 1e-4)
+        return jnp.where(ok, t, jnp.inf)
+
     def make_kernel(body, dtype):
         def kernel(rays_ref, wc_ref, tmin_ref):
             j = pl.program_id(1)
@@ -124,6 +161,8 @@ def main() -> int:
     forms = {
         "dot_f32": make_kernel(body_dot, jnp.float32),
         "fma_f32": make_kernel(body_fma, jnp.float32),
+        "fma_spec": make_kernel(body_fma_spec, jnp.float32),
+        "fma_nodiv": make_kernel(body_fma_nodiv, jnp.float32),
         "dot_bf16": make_kernel(body_dot, jnp.bfloat16),
     }
     pairs = r * c * cw

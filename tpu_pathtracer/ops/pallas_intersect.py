@@ -387,6 +387,27 @@ def _worklist(ga, ge, cap):
     return idx, counts_c, counts
 
 
+def _contract_o(x, w, r0):
+    """[RT, 4] o-row (w=1) against Woop rows w[r0:r0+3] + constant row.
+
+    Explicit broadcast-FMA instead of jnp.dot: the K=4 dot lowers ~1.8x
+    slower on the VPU (probe_aluform on chip: 16.6 vs 29.9 Gpairs/s);
+    three multiply-adds plus the constant-row add are the speed-of-light
+    form, and the known homogeneous components (o.w = 1, d.w = 0) drop a
+    quarter of the multiplies the dot cannot.  NaN-padded chunks still
+    poison p (the constant row is NaN), so ok stays false."""
+    acc = x[:, 0:1] * w[r0, :][None, :] + w[r0 + 3, :][None, :]
+    acc = acc + x[:, 1:2] * w[r0 + 1, :][None, :]
+    return acc + x[:, 2:3] * w[r0 + 2, :][None, :]
+
+
+def _contract_d(x, w, r0):
+    """[RT, 4] d-row (w=0) against Woop rows w[r0:r0+3] (see _contract_o)."""
+    acc = x[:, 0:1] * w[r0, :][None, :]
+    acc = acc + x[:, 1:2] * w[r0 + 1, :][None, :]
+    return acc + x[:, 2:3] * w[r0 + 2, :][None, :]
+
+
 def _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst):
     """Woop test of one 128-triangle chunk against the tile, min-accumulated
     into the VMEM-resident outputs.  Idempotent: retesting a chunk can never
@@ -394,14 +415,12 @@ def _chunk_body(o1, d0, wc_ref, tmin_ref, tidx_ref, g, j, min_dst):
     w = wc_ref[g]  # [12, CHUNK_TRIS]
     cw = w.shape[-1]
 
-    def contract(x, r0):
-        return jnp.dot(
-            x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
-            precision=_PRECISION,
-        )
-
-    p0, p1, p2 = contract(o1, 0), contract(o1, 4), contract(o1, 8)
-    q0, q1, q2 = contract(d0, 0), contract(d0, 4), contract(d0, 8)
+    p0, p1, p2 = (
+        _contract_o(o1, w, 0), _contract_o(o1, w, 4), _contract_o(o1, w, 8)
+    )
+    q0, q1, q2 = (
+        _contract_d(d0, w, 0), _contract_d(d0, w, 4), _contract_d(d0, w, 8)
+    )
     t = -p2 / q2
     beta = p0 + t * q0
     gamma = p1 + t * q1
@@ -427,16 +446,14 @@ def _chunk_body_sub(
     lo = st * rows
     hi = lo + rows
 
-    def contract(x, r0):
-        return jnp.dot(
-            x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
-            precision=_PRECISION,
-        )
-
     o1s = o1[lo:hi]
     d0s = d0[lo:hi]
-    p0, p1, p2 = contract(o1s, 0), contract(o1s, 4), contract(o1s, 8)
-    q0, q1, q2 = contract(d0s, 0), contract(d0s, 4), contract(d0s, 8)
+    p0, p1, p2 = (
+        _contract_o(o1s, w, 0), _contract_o(o1s, w, 4), _contract_o(o1s, w, 8)
+    )
+    q0, q1, q2 = (
+        _contract_d(d0s, w, 0), _contract_d(d0s, w, 4), _contract_d(d0s, w, 8)
+    )
     t = -p2 / q2
     beta = p0 + t * q0
     gamma = p1 + t * q1
@@ -861,14 +878,12 @@ def _kernel_light_pdf(
         w = wc_ref[0]  # [12, CL]
         k = k_ref[0]  # [CL]
 
-        def contract(x, r0):
-            return jnp.dot(
-                x, w[r0 : r0 + 4, :], preferred_element_type=jnp.float32,
-                precision=_PRECISION,
-            )
-
-        p0, p1, p2 = contract(o1, 0), contract(o1, 4), contract(o1, 8)
-        q0, q1, q2 = contract(d0, 0), contract(d0, 4), contract(d0, 8)
+        p0, p1, p2 = (
+            _contract_o(o1, w, 0), _contract_o(o1, w, 4), _contract_o(o1, w, 8)
+        )
+        q0, q1, q2 = (
+            _contract_d(d0, w, 0), _contract_d(d0, w, 4), _contract_d(d0, w, 8)
+        )
         t = -p2 / q2
         beta = p0 + t * q0
         gamma = p1 + t * q1
