@@ -20,13 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def bench(f, *args, n=8):
     import jax
+    import jax.numpy as jnp
+
+    def first_leaf(out):
+        return jax.tree_util.tree_leaves(out)[0]
 
     out = f(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
+        # Force a scalar readback per iteration: through the axon tunnel,
+        # block_until_ready returns at dispatch (probe_aluform measured
+        # 8 ns/grid-step "timings" without this).
+        float(jnp.sum(first_leaf(f(*args)).astype(jnp.float32)))
     return (time.time() - t0) / n * 1000.0
 
 

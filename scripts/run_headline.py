@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline workload: enclosed atrium, 1000x1000 @ 1000 spp, single chip.
+
+The reference's only published number is this workload shape on enclosed
+Sponza: ~47 min on a multi-core CPU (/root/reference/README.md:4).  This
+script renders it end-to-end with checkpointing (resumable across tunnel
+outages; counter RNG makes the resume sample-exact) and appends a ledger
+line to out/headline_r3.json.
+
+Env: HEADLINE_SPP (default 1000), HEADLINE_SIZE (default 1000),
+HEADLINE_CKPT (default /tmp/headline_ck.npz), HEADLINE_OUT (default
+out/samples/atrium_1000x1000_1000spp.ppm).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from tpu_pathtracer.cli import setup_backend
+
+    setup_backend()
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.parallel.checkpoint import render_with_checkpoints
+    from tpu_pathtracer.scene.gltf import parse_gltf_scene
+    from tpu_pathtracer.utils.image import quantize_u8, write_ppm
+    from tpu_pathtracer.utils.testscenes import make_atrium_gltf
+
+    spp = int(os.environ.get("HEADLINE_SPP", "1000"))
+    size = int(os.environ.get("HEADLINE_SIZE", "1000"))
+    ck = os.environ.get("HEADLINE_CKPT", "/tmp/headline_ck.npz")
+    out = os.environ.get(
+        "HEADLINE_OUT", "out/samples/atrium_1000x1000_1000spp.ppm"
+    )
+    config = RenderConfig(rays_per_batch=1 << 16, spp_per_pass=16)
+
+    path = make_atrium_gltf("/tmp/headline/atrium.gltf", detail=2)
+    scene = parse_gltf_scene(path, 1.0, config)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(size, size))
+    n_tris = int(scene.valid.sum())
+    print(f"headline: {n_tris} tris, {size}x{size} @ {spp} spp", flush=True)
+
+    t0 = time.time()
+    done_holder = {"last": 0, "t_first": None}
+
+    def progress(done, total):
+        now = time.time() - t0
+        if done_holder["t_first"] is None:
+            done_holder["t_first"] = done  # resumed offset
+        print(
+            json.dumps(
+                {"spp_done": done, "spp_total": total,
+                 "elapsed_s": round(now, 1)}
+            ),
+            flush=True,
+        )
+        done_holder["last"] = done
+
+    img = render_with_checkpoints(
+        scene, spp=spp, seed=0, config=config, checkpoint_path=ck,
+        checkpoint_every=int(os.environ.get("HEADLINE_CKPT_EVERY", "50")),
+        progress=progress,
+    )
+    dt = time.time() - t0
+    resumed_from = done_holder["t_first"] or 0
+    fresh_spp = spp - resumed_from
+    samples = size * size * fresh_spp
+    import numpy as np
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    write_ppm(out, np.asarray(quantize_u8(img)))
+    ledger = {
+        "workload": f"enclosed-atrium {n_tris} tris {size}x{size}@{spp}spp",
+        "wall_s_this_run": round(dt, 1),
+        "spp_rendered_this_run": fresh_spp,
+        "samples_per_s": round(samples / dt, 1) if fresh_spp else None,
+        "resumed_from_spp": resumed_from,
+        "out": out,
+    }
+    os.makedirs("out", exist_ok=True)
+    with open("out/headline_r3.json", "a") as f:
+        f.write(json.dumps(ledger) + "\n")
+    print(json.dumps(ledger), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
