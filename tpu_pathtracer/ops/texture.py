@@ -103,23 +103,26 @@ def sample_many(
         axis=-1,
     )  # [R, K, 4]
     texels = atlas.texels[idx.reshape(idx.shape[0], -1)]  # ONE gather [R, 4K, 4]
-    texels = texels.reshape(idx.shape[0], k, 4, 4)  # [R, K, corner, rgba]
+    texels_pre = texels.reshape(idx.shape[0], k, 4, 4)  # [R, K, corner, rgba]
 
     gam = jnp.asarray(gammas, dtype=uv.dtype)[None, :, None, None]
     # Bit-parity with `sample`: gamma-1 textures bypass pow entirely (XLA's
     # f32 pow(x, 1) is not guaranteed to be the identity).
     rgb = jnp.where(
-        gam == 1.0, texels[..., :3], jnp.power(texels[..., :3], gam)
+        gam == 1.0, texels_pre[..., :3], jnp.power(texels_pre[..., :3], gam)
     )
-    texels = jnp.concatenate([rgb, texels[..., 3:]], axis=-1)
+    texels = jnp.concatenate([rgb, texels_pre[..., 3:]], axis=-1)
 
     c00, c01, c10, c11 = (texels[:, :, i] for i in range(4))
     bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * (
         (1 - dy) * c10 + dy * c11
     )
     # 1x1 short-circuit: raw texel, NO gamma (src/geometry.h:548-550).
+    # For w = h = 1 every corner index equals ``off`` (mod_inc wraps 0 -> 0),
+    # so the pre-gamma c00 corner IS atlas.texels[off] — reusing it saves a
+    # second [R, K] row gather.
     single = ((w * h) == 1)[..., None]
-    raw = atlas.texels[off]
+    raw = texels_pre[:, :, 0]
     return jnp.where(single, raw, bilinear)
 
 
