@@ -147,3 +147,65 @@ def test_sample_many_matches_individual_samples(tmp_path):
                            jnp.asarray(uv), gammas[k], True)
         )
         np.testing.assert_array_equal(fused[:, k], lone)
+
+
+def test_quad_pool_bit_equal(tmp_path):
+    """The corner-quad pool path (one 16-float row gather per texture) is
+    bit-equal to the flat-pool path (four 4-float gathers) for both sample
+    and sample_many, across 1x1 / non-square / non-pow2 textures and
+    out-of-range uv (repeat wrap)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.scene import types as T
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.random((1, 1, 4)).astype(np.float32),
+        rng.random((7, 5, 4)).astype(np.float32),
+        rng.random((16, 16, 4)).astype(np.float32),
+        rng.random((3, 9, 4)).astype(np.float32),
+    ]
+    offs, ws, hs, chunks = [], [], [], []
+    o = 0
+    for im in imgs:
+        h, w, _ = im.shape
+        offs.append(o)
+        ws.append(w)
+        hs.append(h)
+        chunks.append(im.reshape(-1, 4))
+        o += w * h
+    atlas = T.TextureAtlas(
+        texels=jnp.asarray(np.concatenate(chunks, 0)),
+        offset=jnp.asarray(offs, jnp.int32),
+        width=jnp.asarray(ws, jnp.int32),
+        height=jnp.asarray(hs, jnp.int32),
+        quad=T.quad_pool(imgs),
+    )
+    flat = dataclasses.replace(atlas, quad=None)
+    r = 2048
+    uv = jnp.asarray(rng.random((r, 2)).astype(np.float32) * 4 - 2)
+    ids = jnp.asarray(rng.integers(0, 4, (r, 4)).astype(np.int32))
+    gammas = (2.2, 2.2, 1.0, 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(texture.sample_many(atlas, ids, uv, gammas)),
+        np.asarray(texture.sample_many(flat, ids, uv, gammas)),
+    )
+    for g in (1.0, 2.2):
+        np.testing.assert_array_equal(
+            np.asarray(texture.sample(atlas, ids[:, 0], uv, g)),
+            np.asarray(texture.sample(flat, ids[:, 0], uv, g)),
+        )
+
+
+def test_quad_pool_memory_cap(monkeypatch):
+    """Past TPU_PT_QUAD_MAX texels the quad pool is skipped (None)."""
+    from tpu_pathtracer.scene import types as T
+
+    imgs = [np.zeros((8, 8, 4), np.float32)]
+    monkeypatch.setenv("TPU_PT_QUAD_MAX", "63")
+    assert T.quad_pool(imgs) is None
+    monkeypatch.setenv("TPU_PT_QUAD_MAX", "64")
+    q = T.quad_pool(imgs)
+    assert q is not None and q.shape == (64, 16)

@@ -50,21 +50,32 @@ def sample(
     px1 = jnp.where(px == w - 1, 0, px + 1)
     py1 = jnp.where(py == h - 1, 0, py + 1)
 
-    def texel(ix, iy):
-        c = atlas.texels[off + ix + iy * w]
+    def decode(c):
         if gamma != 1.0:
             rgb = jnp.power(c[:, :3], gamma)
             c = jnp.concatenate([rgb, c[:, 3:]], axis=-1)
         return c
 
-    c00 = texel(px, py)
-    c01 = texel(px, py1)
-    c10 = texel(px1, py)
-    c11 = texel(px1, py1)
+    if atlas.quad is not None:
+        # One 16-float row per ray instead of four 4-float rows: the quad
+        # pool pre-gathers the mod_inc-wrapped corners (types.quad_pool),
+        # and on-chip gather cost is per-row.  Same texel values -> the
+        # bilinear result is bit-equal.
+        rows = atlas.quad[off + px + py * w]  # [R, 16]
+        c00, c01, c10, c11 = (
+            decode(rows[:, 4 * i : 4 * i + 4]) for i in range(4)
+        )
+    else:
+        c00 = decode(atlas.texels[off + px + py * w])
+        c01 = decode(atlas.texels[off + px + py1 * w])
+        c10 = decode(atlas.texels[off + px1 + py * w])
+        c11 = decode(atlas.texels[off + px1 + py1 * w])
     bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * ((1 - dy) * c10 + dy * c11)
 
     single = ((w * h) == 1)[:, None]
-    raw = atlas.texels[off]
+    # 1x1 short-circuit: raw texel, NO gamma (src/geometry.h:548-550).  For
+    # w = h = 1 the quad row's pre-gamma c00 IS texels[off] — reuse it.
+    raw = rows[:, 0:4] if atlas.quad is not None else atlas.texels[off]
     return jnp.where(single, raw, bilinear)
 
 
@@ -93,17 +104,24 @@ def sample_many(
     px1 = jnp.where(px == w - 1, 0, px + 1)  # mod_inc (src/geometry.h:521-523)
     py1 = jnp.where(py == h - 1, 0, py + 1)
 
-    idx = jnp.stack(
-        [
-            off + px + py * w,
-            off + px + py1 * w,
-            off + px1 + py * w,
-            off + px1 + py1 * w,
-        ],
-        axis=-1,
-    )  # [R, K, 4]
-    texels = atlas.texels[idx.reshape(idx.shape[0], -1)]  # ONE gather [R, 4K, 4]
-    texels_pre = texels.reshape(idx.shape[0], k, 4, 4)  # [R, K, corner, rgba]
+    if atlas.quad is not None:
+        # K 16-float rows per ray instead of 4K 4-float rows (gather cost is
+        # per-row on chip): the quad pool pre-gathers the mod_inc-wrapped
+        # corners in exactly this (c00, c01, c10, c11) order.  Bit-equal.
+        rows = atlas.quad[off + px + py * w]  # [R, K, 16]
+        texels_pre = rows.reshape(rows.shape[0], k, 4, 4)
+    else:
+        idx = jnp.stack(
+            [
+                off + px + py * w,
+                off + px + py1 * w,
+                off + px1 + py * w,
+                off + px1 + py1 * w,
+            ],
+            axis=-1,
+        )  # [R, K, 4]
+        texels = atlas.texels[idx.reshape(idx.shape[0], -1)]  # ONE gather [R, 4K, 4]
+        texels_pre = texels.reshape(idx.shape[0], k, 4, 4)  # [R, K, corner, rgba]
 
     gam = jnp.asarray(gammas, dtype=uv.dtype)[None, :, None, None]
     # Bit-parity with `sample`: gamma-1 textures bypass pow entirely (XLA's

@@ -139,6 +139,7 @@ class _AtlasBuilder:
             offset=jnp.asarray(offsets, dtype=jnp.int32),
             width=jnp.asarray(widths, dtype=jnp.int32),
             height=jnp.asarray(heights, dtype=jnp.int32),
+            quad=T.quad_pool(self.images),
         )
 
 

@@ -103,6 +103,15 @@ class TextureAtlas:
     offset: jnp.ndarray  # [K] int32
     width: jnp.ndarray  # [K] int32
     height: jnp.ndarray  # [K] int32
+    # Optional corner-quad pool: row i = the four bilinear corners
+    # [c00 | c01 | c10 | c11] of texel i (neighbors wrapped with mod_inc at
+    # BUILD time, src/geometry.h:521-523).  One 16-float row gather then
+    # replaces four 4-float gathers per (ray, texture) — on-chip, gather
+    # cost is per-ROW, so this quarters the texture-fetch cost
+    # (scripts/probe_shade: tex4 was ~27% of the shade stage).  Values are
+    # the same texels, so sampling is bit-equal; built only while the pool
+    # stays under the TPU_PT_QUAD_MAX memory cap (see quad_pool).
+    quad: Optional[jnp.ndarray] = None  # [T, 16] float32
 
     @staticmethod
     def builtin() -> "TextureAtlas":
@@ -112,7 +121,30 @@ class TextureAtlas:
             offset=jnp.asarray([0, 1], dtype=jnp.int32),
             width=jnp.asarray([1, 1], dtype=jnp.int32),
             height=jnp.asarray([1, 1], dtype=jnp.int32),
+            quad=jnp.asarray(np.tile(texels, (1, 4))),
         )
+
+
+def quad_pool(images) -> Optional[jnp.ndarray]:
+    """Corner-quad pool for a list of [h, w, 4] images (see
+    ``TextureAtlas.quad``).  Corner order matches ``ops/texture.sample_many``
+    (c00, c01, c10, c11 — py1/px1 increments wrap, mod_inc).  Returns None
+    past the memory cap (64 B/texel; default cap 4M texels = 256 MB)."""
+    total = sum(img.shape[0] * img.shape[1] for img in images)
+    import os
+
+    if total > int(os.environ.get("TPU_PT_QUAD_MAX", str(4 << 20))):
+        return None
+    rows = []
+    for img in images:
+        img = np.asarray(img, dtype=np.float32)
+        c01 = np.roll(img, -1, axis=0)  # (px, py1)
+        c10 = np.roll(img, -1, axis=1)  # (px1, py)
+        c11 = np.roll(c01, -1, axis=1)  # (px1, py1)
+        rows.append(
+            np.concatenate([img, c01, c10, c11], axis=-1).reshape(-1, 16)
+        )
+    return jnp.asarray(np.concatenate(rows, axis=0))
 
 
 @_register
