@@ -178,26 +178,30 @@ def test_twopass_matches_dense_interpret():
         d = rng.normal(size=(r, 3)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         for g in (1, 2):
-            two = closest_hit_chunks(
-                jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
-                jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
-                group=g, mode="twopass", **kw,
-            )
             dense = closest_hit_chunks(
                 jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
                 jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
                 group=g, mode="dense", **kw,
             )
-            np.testing.assert_array_equal(
-                np.asarray(dense.hit), np.asarray(two.hit)
-            )
-            both = np.asarray(dense.hit)
-            np.testing.assert_array_equal(
-                np.asarray(two.tri)[both], np.asarray(dense.tri)[both]
-            )
-            np.testing.assert_array_equal(
-                np.asarray(two.t)[both], np.asarray(dense.t)[both]
-            )
+            # "items" = the same cascade with the compacted work-item grid
+            # (one step per active (tile, group) pair) in place of the
+            # per-tile slot grid.
+            for mode in ("twopass", "items"):
+                got = closest_hit_chunks(
+                    jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
+                    jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
+                    group=g, mode=mode, **kw,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(dense.hit), np.asarray(got.hit)
+                )
+                both = np.asarray(dense.hit)
+                np.testing.assert_array_equal(
+                    np.asarray(got.tri)[both], np.asarray(dense.tri)[both]
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got.t)[both], np.asarray(dense.t)[both]
+                )
 
 
 def test_super_block_gate_matches_dense(monkeypatch):

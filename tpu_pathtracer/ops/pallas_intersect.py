@@ -561,6 +561,87 @@ def _kernel_pass(
                     )
 
 
+def _kernel_items(
+    wl_ref, rays_ref, tmin0_ref, tidx0_ref, wc_ref, tmin_ref, tidx_ref,
+    *, min_dst, group, n_sub,
+):
+    """Compacted work-item grid: ONE step per ACTIVE (tile, group) pair.
+
+    The slot grid (_kernel_pass) pays its fixed per-step cost for every
+    (tile, slot) pair up to the cap even when a tile's worklist is short —
+    measured on the atrium cascade, dead slots are a ~10 ms/iteration tax.
+    Here the XLA side flattens all tiles' worklists into one item list
+    SORTED BY TILE (scalar rows [tile | group | mask words], lane-major so
+    SMEM lane padding is paid once per ROW, not per item), and the grid is
+    exactly the item count: no dead steps, and per-tile caps stop costing
+    anything when unused.
+
+    Tile-major order keeps each output block's visits contiguous (blocks
+    are flushed when the data-dependent index changes and never reloaded —
+    a revisit would clobber earlier rows); the first item of a tile
+    initializes the outputs from the previous pass (tiles with no items
+    are patched by the caller with an XLA select)."""
+    s = pl.program_id(0)
+    tile = wl_ref[0, s]
+    prev = wl_ref[0, jnp.maximum(s - 1, 0)]
+
+    @pl.when((s == 0) | (tile != prev))
+    def _init():
+        tmin_ref[:] = tmin0_ref[:]
+        tidx_ref[:] = tidx0_ref[:]
+
+    rays = rays_ref[:]  # [RT, 8]
+    o1 = rays[:, 0:4]
+    d0 = rays[:, 4:8]
+    jg = wl_ref[1, s]
+    rows = o1.shape[0] // n_sub
+
+    for g in range(group):
+        word = wl_ref[2 + g // 4, s]
+        mask = (word >> (8 * (g % 4))) & 0xFF
+        if n_sub == 1:
+            @pl.when(mask > 0)
+            def _chunk(g=g):
+                _chunk_body(
+                    o1, d0, wc_ref, tmin_ref, tidx_ref, g, jg * group + g,
+                    min_dst,
+                )
+        else:
+            for st in range(n_sub):
+                @pl.when(((mask >> st) & 1) > 0)
+                def _sub(g=g, st=st):
+                    _chunk_body_sub(
+                        o1, d0, wc_ref, tmin_ref, tidx_ref, g,
+                        jg * group + g, st, rows, min_dst,
+                    )
+
+
+def _item_rows(idx, counts, masks_sel):
+    """Flatten per-tile worklists into tile-major item rows for
+    _kernel_items: wl [2 + W, T*cap] int32 = [tile | group | mask words]
+    per item column, valid items first (stable sort preserves tile-major
+    order), padding columns repeating the last valid item (retests are
+    idempotent, so repeats are harmless).  Returns (wl, m = item count)."""
+    t_tiles, cap = idx.shape
+    w = masks_sel.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t_tiles, cap), 1)
+    valid = (pos < counts[:, None]).reshape(-1)
+    order = jnp.argsort(~valid, stable=True)
+    tiles = jnp.broadcast_to(
+        jnp.arange(t_tiles, dtype=jnp.int32)[:, None], (t_tiles, cap)
+    ).reshape(-1)[order]
+    groups = idx.reshape(-1)[order]
+    masks = masks_sel.reshape(-1, w)[order]
+    m = jnp.sum(counts).astype(jnp.int32)
+    last = jnp.maximum(m - 1, 0)
+    pad = jax.lax.broadcasted_iota(jnp.int32, tiles.shape, 0) >= m
+    tiles = jnp.where(pad, tiles[last], tiles)
+    groups = jnp.where(pad, groups[last], groups)
+    masks = jnp.where(pad[:, None], masks[last], masks)
+    wl = jnp.concatenate([tiles[None, :], groups[None, :], masks.T], axis=0)
+    return wl, m
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -708,7 +789,65 @@ def closest_hit_chunks(
             interpret=interpret,
         )(wl, rays, tmin0, tidx0, chunk_woop)
 
-    mode = mode or os.environ.get("TPU_PT_INTERSECT", "twopass")
+    def run_pass_items(masks_sel, idx, counts, tmin0, tidx0, cap):
+        # Compacted work-item grid (see _kernel_items): grid size is the
+        # DYNAMIC total item count — dead slots never become grid steps.
+        del cap
+        wl, m = _item_rows(idx, counts[:, 0], masks_sel)
+        # Interpret mode (CPU tests) runs the full padded grid — its
+        # while-loop lowering of a dynamic grid bound is unreliable; the
+        # padding items are idempotent retests of the last valid item.
+        grid = (wl.shape[1],) if interpret else (jnp.maximum(m, 1),)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 8), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                wc_spec(lambda s, wl_ref: (wl_ref[1, s], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        )
+        t_k, i_k = pl.pallas_call(
+            functools.partial(
+                _kernel_items, min_dst=min_dst, group=group, n_sub=n_sub
+            ),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(wl, rays, tmin0, tidx0, chunk_woop)
+        # Tiles with no items are never visited (their output blocks hold
+        # garbage): patch them from the previous pass.
+        vis = jnp.repeat(counts[:, 0] > 0, ray_tile)[:, None]
+        return jnp.where(vis, t_k, tmin0), jnp.where(vis, i_k, tidx0)
+
+    # Default "items": the cascade with compacted work-item pass grids —
+    # measured 53.3 ms/iter vs the slot grid's 59.2 on 64k atrium
+    # secondaries (probe_items; equal checksums), on top of the ladder
+    # retune's 70.7 -> 59.2.  "twopass" keeps the slot grid; "dense" is the
+    # A/B oracle.
+    mode = mode or os.environ.get("TPU_PT_INTERSECT", "items")
+    if mode == "items":
+        run_pass = run_pass_items
     if mode == "dense":
         t_best, tri = run_dense(bits, tmin_inf, tidx_zero)
     else:
@@ -717,16 +856,18 @@ def closest_hit_chunks(
         # active groups per tile, then the activity is RECHECKED with the
         # per-ray best t so far (the ordered-descent prune) before the next
         # pass — so far groups are usually culled before they're ever
-        # tested.  Small first caps engage the cutoff early (the round-3
-        # ledger showed a single 12-group near pass covered ~75% of active
-        # groups unbounded, leaving the prune almost nothing to do).
+        # tested.  Cap sizing (scripts/probe_ladder, atrium secondaries):
+        # tiny first caps over-pay the fixed cascade round cost (activity
+        # 3.4 ms + worklist glue 2.4 ms per recheck) for pruning the later
+        # passes mostly re-derive — pass1 ~cg/9 is the measured optimum
+        # (59.3 ms/iter vs 73.5 at the old cg/64, all checksums equal).
         if pass1_cap:
             ladder = (pass1_cap, pass1_cap * 3)
         else:
-            base = max(_env_int("TPU_PT_PASS1_MIN", 4), cg // 64)
+            base = max(_env_int("TPU_PT_PASS1_MIN", 4), cg // 9)
             ladder = tuple(
                 int(x) * base // 4
-                for x in os.environ.get("TPU_PT_NEAR", "4,16").split(",")
+                for x in os.environ.get("TPU_PT_NEAR", "4,12").split(",")
             )
         near_caps = [min(c_, cg) for c_ in ladder if c_ < cg]
         rows = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
@@ -783,7 +924,15 @@ def closest_hit_chunks(
         idx_r, counts_r, masks_r, m = resid_state(
             t_cur, i_cur, tested, act_p, sub_p
         )
-        if cg <= max_cap:
+        if cg <= max_cap and mode == "items":
+            # The item grid is already sized by the dynamic item count, so
+            # the count-bucket switch is pointless (every bucket would
+            # compile the same program).
+            t_best, tri = run_pass(
+                masks_r, idx_r, counts_r[:, None], t_cur, i_cur,
+                min(cg, max_cap),
+            )
+        elif cg <= max_cap:
             caps = sorted({min(cg, max(4, -(-cg // 8))),
                            min(cg, max(8, -(-cg // 3))), cg})
 
