@@ -323,20 +323,25 @@ def test_iterating_residual_matches_dense(monkeypatch):
         jnp.asarray(cmax), jnp.asarray(woop), group=1, mode="dense", **kw,
     )
     monkeypatch.setenv("TPU_PT_MAX_CAP", "16")  # cg = 128 >> 16
-    closest_hit_chunks.clear_cache()
-    loop = closest_hit_chunks(
-        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
-        jnp.asarray(cmax), jnp.asarray(woop), group=1, mode="twopass", **kw,
-    )
     assert np.asarray(dense.hit).sum() > 100
-    np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(loop.hit))
     both = np.asarray(dense.hit)
-    np.testing.assert_array_equal(
-        np.asarray(loop.t)[both], np.asarray(dense.t)[both]
-    )
-    np.testing.assert_array_equal(
-        np.asarray(loop.tri)[both], np.asarray(dense.tri)[both]
-    )
+    # "items" additionally clamps the near-ladder caps by the budget (the
+    # 820k scene's unclamped pass-2 cap overflowed SMEM on chip).
+    for mode in ("twopass", "items"):
+        closest_hit_chunks.clear_cache()
+        loop = closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+            jnp.asarray(cmax), jnp.asarray(woop), group=1, mode=mode, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.hit), np.asarray(loop.hit)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loop.t)[both], np.asarray(dense.t)[both]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loop.tri)[both], np.asarray(dense.tri)[both]
+        )
 
 
 def test_nearest_box_ids_matches_dense_argmin():

@@ -149,16 +149,19 @@ def test_sample_many_matches_individual_samples(tmp_path):
         np.testing.assert_array_equal(fused[:, k], lone)
 
 
-def test_quad_pool_bit_equal(tmp_path):
+def test_quad_pool_bit_equal(tmp_path, monkeypatch):
     """The corner-quad pool path (one 16-float row gather per texture) is
     bit-equal to the flat-pool path (four 4-float gathers) for both sample
     and sample_many, across 1x1 / non-square / non-pow2 textures and
-    out-of-range uv (repeat wrap)."""
+    out-of-range uv (repeat wrap).  (Opt-in knob: measured slower on chip,
+    so the default cap is 0 — forced on here.)"""
     import dataclasses
 
     import jax.numpy as jnp
 
     from tpu_pathtracer.scene import types as T
+
+    monkeypatch.setenv("TPU_PT_QUAD_MAX", str(4 << 20))
 
     rng = np.random.default_rng(11)
     imgs = [

@@ -869,7 +869,24 @@ def closest_hit_chunks(
                 int(x) * base // 4
                 for x in os.environ.get("TPU_PT_NEAR", "4,12").split(",")
             )
-        near_caps = [min(c_, cg) for c_ in ladder if c_ < cg]
+        # SMEM budget per pass, mode-dependent: the item layout is
+        # [2 + W, T*cap] int32 lane-padded only (16*T bytes per cap slot —
+        # the 820k scene's unclamped pass-2 cap 267 x 256 tiles allocated
+        # 1.09 MB and failed AOT compile); the slot layout is the merged
+        # [T, 1 + cap(1 + W)] row.  EVERY pass cap obeys it — near-pass
+        # truncation is safe (untested groups are picked up by the next
+        # recheck or the residual), and the residual branches below size
+        # themselves from it.
+        w_words = -(-group // 4)
+        if mode == "items":
+            max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
+                16, 600_000 // (4 * (2 + w_words) * t_tiles)
+            )
+        else:
+            max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
+                16, (600_000 // (4 * t_tiles) - 128) // (1 + w_words)
+            )
+        near_caps = [min(c_, cg, max_cap) for c_ in ladder if c_ < cg]
         rows = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
         tested = jnp.zeros((t_tiles, cg), bool)
         t_cur, i_cur = tmin_inf, tidx_zero
@@ -896,23 +913,13 @@ def closest_hit_chunks(
             )
 
         # Residual: everything still active and untested, front-to-back.
-        # SMEM budget bounds the worklist a single grid can prefetch,
-        # independent of scene size — the round-2 whole-scene bit arrays
-        # overflowed SMEM at 820k tris.  Budgeted in PADDED bytes: the
-        # merged [T, 1 + cap + cap*W] row's last dim lane-pads to the next
-        # 128 multiple, 4 bytes per word, ~600 KB of the 1 MB SMEM.  Small
-        # scenes run ONE residual pass with lax.switch-bucketed caps (one
-        # broad tile no longer drags every tile through a full-width grid —
-        # the round-2 global dense fallback); scenes whose group count
-        # exceeds the budget iterate budget-sized passes with a best-t
-        # recheck between them until no active untested group remains (each
-        # iteration tests >= min(m, max_cap) groups, so it terminates; in
-        # practice the recheck collapses the residual).
-        w_words = -(-group // 4)
-        max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
-            16, (600_000 // (4 * t_tiles) - 128) // (1 + w_words)
-        )
-
+        # Small scenes (cg within the SMEM budget) run ONE residual pass
+        # (count-bucketed caps in slot mode; the item grid sizes itself);
+        # scenes whose group count exceeds the budget iterate budget-sized
+        # passes with a best-t recheck between them until no active
+        # untested group remains (each iteration tests >= min(m, max_cap)
+        # groups, so it terminates; in practice the recheck collapses the
+        # residual).
         def resid_state(t_c, i_c, tested_, act_, sub_):
             ga_r, _ = _group_stats(act_, ent, group)
             ga_r = ga_r & ~tested_

@@ -106,11 +106,12 @@ class TextureAtlas:
     # Optional corner-quad pool: row i = the four bilinear corners
     # [c00 | c01 | c10 | c11] of texel i (neighbors wrapped with mod_inc at
     # BUILD time, src/geometry.h:521-523).  One 16-float row gather then
-    # replaces four 4-float gathers per (ray, texture) — on-chip, gather
-    # cost is per-ROW, so this quarters the texture-fetch cost
-    # (scripts/probe_shade: tex4 was ~27% of the shade stage).  Values are
-    # the same texels, so sampling is bit-equal; built only while the pool
-    # stays under the TPU_PT_QUAD_MAX memory cap (see quad_pool).
+    # replaces four 4-float gathers per (ray, texture); values are the same
+    # texels, so sampling is bit-equal.  MEASURED OFF by default: on-chip
+    # gathers are byte-bound, not row-bound — the single-session A/B
+    # (scripts/probe_quad, 64k rays) timed the quad fetch 53% SLOWER in
+    # isolation (8.91 vs 5.81 ms) and neutral inside full hit_info — so
+    # quad_pool builds it only when TPU_PT_QUAD_MAX (texel cap) is set > 0.
     quad: Optional[jnp.ndarray] = None  # [T, 16] float32
 
     @staticmethod
@@ -121,19 +122,19 @@ class TextureAtlas:
             offset=jnp.asarray([0, 1], dtype=jnp.int32),
             width=jnp.asarray([1, 1], dtype=jnp.int32),
             height=jnp.asarray([1, 1], dtype=jnp.int32),
-            quad=jnp.asarray(np.tile(texels, (1, 4))),
         )
 
 
 def quad_pool(images) -> Optional[jnp.ndarray]:
     """Corner-quad pool for a list of [h, w, 4] images (see
     ``TextureAtlas.quad``).  Corner order matches ``ops/texture.sample_many``
-    (c00, c01, c10, c11 — py1/px1 increments wrap, mod_inc).  Returns None
-    past the memory cap (64 B/texel; default cap 4M texels = 256 MB)."""
+    (c00, c01, c10, c11 — py1/px1 increments wrap, mod_inc).  Opt-in via
+    TPU_PT_QUAD_MAX (max texels, 64 B/texel; 0 = off, the measured default
+    — see the field comment above)."""
     total = sum(img.shape[0] * img.shape[1] for img in images)
     import os
 
-    if total > int(os.environ.get("TPU_PT_QUAD_MAX", str(4 << 20))):
+    if total > int(os.environ.get("TPU_PT_QUAD_MAX", "0")):
         return None
     rows = []
     for img in images:
