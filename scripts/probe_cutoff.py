@@ -108,10 +108,10 @@ def main() -> int:
             scene.chunk_aabb_max, scene.woop, eps, ray_tile=tile,
         )
         # Unbounded tile activity (dense work) + entries.
-        act, ent, _ = tile_chunk_activity(
+        act, ent, _, _ = tile_chunk_activity(
             rays8, scene.chunk_aabb_min, scene.chunk_aabb_max, eps, tile)
         # Ideal tile activity: bounded by each ray's FINAL t.
-        act_i, _, _ = tile_chunk_activity(
+        act_i, _, _, _ = tile_chunk_activity(
             rays8, scene.chunk_aabb_min, scene.chunk_aabb_max, eps, tile,
             tbest=final.t)
         # Per-ray truth (final-bounded) on a 4k-ray subset, plain jnp slab.
@@ -142,7 +142,7 @@ def main() -> int:
         wg_tested = jnp.take_along_axis(
             tested, win_group.reshape(t_tiles, tile), axis=1).reshape(-1)
         t1 = jnp.where(final.hit & wg_tested, final.t, jnp.inf)
-        act2, _, _ = tile_chunk_activity(
+        act2, _, _, _ = tile_chunk_activity(
             rays8, scene.chunk_aabb_min, scene.chunk_aabb_max, eps, tile,
             tbest=t1)
         ga2, _ = _group_stats(act2, ent, group)

@@ -143,13 +143,13 @@ def main() -> int:
     n_sub = 8
 
     # Pair-ALU floor from the current activity (one-off, not timed).
-    _, _, sub = tile_chunk_activity(rays8, cmin, cmax, eps, RAY_TILE,
+    _, _, sub, _ = tile_chunk_activity(rays8, cmin, cmax, eps, RAY_TILE,
                                     False, n_sub=n_sub)
     pairs = float(jnp.sum(sub > 0)) * (RAY_TILE // n_sub) * CHUNK_TRIS
     emit(case="alu_floor", pairs=pairs,
          ms_at_35g=round(pairs / 35e9 * 1000, 2))
     tb = jnp.where(jnp.isfinite(hit1.t), hit1.t, jnp.inf)
-    _, _, sub_b = tile_chunk_activity(rays8, cmin, cmax, eps, RAY_TILE,
+    _, _, sub_b, _ = tile_chunk_activity(rays8, cmin, cmax, eps, RAY_TILE,
                                       False, tbest=tb, n_sub=n_sub)
     pairs_b = float(jnp.sum(sub_b > 0)) * (RAY_TILE // n_sub) * CHUNK_TRIS
     emit(case="alu_floor_final_t", pairs=pairs_b,
@@ -169,7 +169,7 @@ def main() -> int:
         )[2]),
     )
 
-    act, ent, sub0 = tile_chunk_activity(
+    act, ent, sub0, _ = tile_chunk_activity(
         rays8, cmin, cmax, eps, RAY_TILE, False, n_sub=n_sub
     )
 

@@ -434,3 +434,49 @@ def test_chunk_width_64_matches_dense():
         atol=1e-6,
     )
     assert (np.asarray(pk.tri)[both] == np.asarray(dense.tri)[both]).mean() > 0.99
+
+
+def test_cheap_recheck_matches_dense(monkeypatch):
+    """TPU_PT_CHEAP_RECHECK=1 replaces the cascade's slab-sweep rechecks
+    with a compare against the STORED per-sub-tile entry minima (bounded by
+    the sub-tile max of the per-ray best t).  Conservative superset of the
+    per-ray recheck -> results must stay exactly equal to the dense
+    oracle, in both pass-grid modes."""
+    verts, valid = _scene(16000, seed=41, spread=20.0)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+
+    rng = np.random.default_rng(42)
+    r = 256
+    o = rng.uniform(-24, 24, size=(r, 3)).astype(np.float32)
+    aim = rng.uniform(-12, 12, size=(r, 3)).astype(np.float32)
+    d = aim - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # ray_tile 128 with TPU_PT_SUB=64 -> n_sub=2: the cheap path engages.
+    monkeypatch.setenv("TPU_PT_SUB", "64")
+    kw = dict(min_dst=EPS, ray_tile=128, interpret=True)
+    closest_hit_chunks.clear_cache()
+    dense = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), mode="dense", **kw,
+    )
+    assert np.asarray(dense.hit).sum() > 100
+    both = np.asarray(dense.hit)
+    monkeypatch.setenv("TPU_PT_CHEAP_RECHECK", "1")
+    for mode in ("twopass", "items"):
+        closest_hit_chunks.clear_cache()
+        got = closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+            jnp.asarray(cmax), jnp.asarray(woop), mode=mode, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(got.hit))
+        np.testing.assert_array_equal(
+            np.asarray(got.t)[both], np.asarray(dense.t)[both]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.tri)[both], np.asarray(dense.tri)[both]
+        )
+    closest_hit_chunks.clear_cache()

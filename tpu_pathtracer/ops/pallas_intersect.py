@@ -152,15 +152,22 @@ def _activity_body(
     # conservatively; t_best = inf never prunes).
     hit = (t_lo <= t_hi) & (t_hi >= min_dst) & (t_lo <= tb)
     cols = hit.shape[-1]
-    subact = jnp.any(hit.reshape(n_sub, -1, cols), axis=1).astype(jnp.int32)
+    entry = jnp.where(hit, jnp.maximum(t_lo, min_dst), jnp.inf)
+    # Per-SUB-TILE entry minima (f32, +inf = no qualifying ray): strictly
+    # more information than 0/1 bits for the same bytes — finite = active,
+    # and the caller can re-derive activity under a TIGHTER t bound without
+    # re-running the slab sweep (the cheap cascade recheck): for any bound
+    # b <= the tb used here, ``entry <= b`` over-approximates the per-ray
+    # slab result only by sub-tile granularity.
+    sub_ent = jnp.min(entry.reshape(n_sub, -1, cols), axis=1)
     if n_sub < 8:
         # The sub block is always 8 rows (TPU block shapes need the
-        # second-minor dim divisible by 8); rows past n_sub are zero.
-        subact = jnp.concatenate(
-            [subact, jnp.zeros((8 - n_sub, cols), jnp.int32)], axis=0
+        # second-minor dim divisible by 8); rows past n_sub are inf.
+        sub_ent = jnp.concatenate(
+            [sub_ent, jnp.full((8 - n_sub, cols), jnp.inf, jnp.float32)],
+            axis=0,
         )
-    sub_ref[:] = subact
-    entry = jnp.where(hit, jnp.maximum(t_lo, min_dst), jnp.inf)
+    sub_ref[:] = sub_ent
     ent_ref[i, :] = jnp.min(entry, axis=0)
 
 
@@ -187,7 +194,7 @@ def _activity_kernel_gated(
 
     @pl.when(bit == 0)
     def _skip():
-        sub_ref[:] = jnp.zeros_like(sub_ref)
+        sub_ref[:] = jnp.full_like(sub_ref, jnp.inf)
         ent_ref[i, :] = jnp.full_like(ent_ref[i, :], jnp.inf)
 
 
@@ -202,8 +209,9 @@ def tile_chunk_activity(
     coarse_bits: jnp.ndarray | None = None,  # [T, ceil(nb/32)] block gate
     n_sub: int = 1,  # sub-tiles per ray tile (sub-tile activity rows)
 ):
-    """Returns (act [T, C] int32, entry [T, C] f32, sub [T, n_sub, C]) —
-    see _activity_kernel.  act = any over sub rows."""
+    """Returns (act [T, C] int32, entry [T, C] f32, sub [T, n_sub, C] 0/1,
+    sub_ent [T, n_sub, C] f32 per-sub-tile entry minima) — see
+    _activity_kernel.  act = any over sub rows; sub = isfinite(sub_ent)."""
     r = rays.shape[0]
     c = chunk_min.shape[0]
     t_tiles = r // ray_tile
@@ -236,7 +244,7 @@ def tile_chunk_activity(
         ),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((t_tiles * 8, cpad), jnp.int32),
+        jax.ShapeDtypeStruct((t_tiles * 8, cpad), jnp.float32),
         jax.ShapeDtypeStruct((t_tiles, cpad), jnp.float32),
     ]
     in_specs = [
@@ -273,9 +281,10 @@ def tile_chunk_activity(
             out_shape=out_shape,
             interpret=interpret,
         )(coarse_bits, rays, aabb_rows, tbest)
-    sub = sub.reshape(t_tiles, 8, cpad)[:, :n_sub, :c]
+    sub_ent = sub.reshape(t_tiles, 8, cpad)[:, :n_sub, :c]
+    sub = jnp.isfinite(sub_ent).astype(jnp.int32)
     act = jnp.any(sub > 0, axis=1).astype(jnp.int32)
-    return act, ent[:, :c], sub
+    return act, ent[:, :c], sub, sub_ent
 
 
 def super_block_bits(
@@ -304,7 +313,7 @@ def super_block_bits(
     nb = chunk_min.shape[0] // _ACT_COLS
     cb_min = jnp.nanmin(chunk_min.reshape(nb, _ACT_COLS, 3), axis=1)
     cb_max = jnp.nanmax(chunk_max.reshape(nb, _ACT_COLS, 3), axis=1)
-    coarse_act, _, _ = tile_chunk_activity(
+    coarse_act, _, _, _ = tile_chunk_activity(
         rays, cb_min, cb_max, min_dst, ray_tile, interpret
     )
     return _bitpack(coarse_act)
@@ -713,7 +722,7 @@ def closest_hit_chunks(
         )
     # chunk_min was padded to cg*group rows above, so act/ent have exactly
     # cg*group columns.
-    act, ent, sub = tile_chunk_activity(
+    act, ent, sub, sub_ent0 = tile_chunk_activity(
         rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
         coarse_bits=cbits, n_sub=n_sub,
     )
@@ -895,6 +904,29 @@ def closest_hit_chunks(
         def select(masks_full, idx):
             return jnp.take_along_axis(masks_full, idx[:, :, None], axis=1)
 
+        # Recheck with the tightened t bound; activity only shrinks (the
+        # bound adds a conjunct), so retests are never introduced and the
+        # final union is exact.  Two forms, both conservative:
+        #   full   re-run the slab sweep with the PER-RAY bound (3.4 ms);
+        #   cheap  compare the STORED per-sub-tile entry minima against the
+        #          sub-tile MAX of the per-ray bounds — pure XLA, ~free,
+        #          but sub-tile-granular (slightly looser unions).
+        cheap = bool(_env_int("TPU_PT_CHEAP_RECHECK", 0)) and n_sub > 1
+
+        def recheck(t_c):
+            if not cheap:
+                act_, _, sub_, _ = tile_chunk_activity(
+                    rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
+                    tbest=t_c[:, 0], coarse_bits=cbits, n_sub=n_sub,
+                )
+                return act_, sub_
+            tb_sub = jnp.max(
+                t_c[:, 0].reshape(t_tiles, n_sub, ray_tile // n_sub), axis=2
+            )
+            ok = jnp.isfinite(sub_ent0) & (sub_ent0 <= tb_sub[:, :, None])
+            sub_ = ok.astype(jnp.int32)
+            return jnp.any(ok, axis=1).astype(jnp.int32), sub_
+
         for cap in near_caps:
             ga_p, _ = _group_stats(act_p, ent, group)
             ga_p = ga_p & ~tested
@@ -904,13 +936,7 @@ def closest_hit_chunks(
                 idx_p, counts_p[:, None], t_cur, i_cur, cap,
             )
             tested = tested.at[rows, idx_p].set(True)
-            # Recheck with the tightened per-ray bound; activity only
-            # shrinks (the bound adds a conjunct), so retests are never
-            # introduced and the final union is exact.
-            act_p, _, sub_p = tile_chunk_activity(
-                rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
-                tbest=t_cur[:, 0], coarse_bits=cbits, n_sub=n_sub,
-            )
+            act_p, sub_p = recheck(t_cur)
 
         # Residual: everything still active and untested, front-to-back.
         # Small scenes (cg within the SMEM budget) run ONE residual pass
@@ -972,10 +998,7 @@ def closest_hit_chunks(
                     min(cg, max_cap),
                 )
                 tested_ = tested_.at[rows, idx_c].set(True)
-                act_n, _, sub_n = tile_chunk_activity(
-                    rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
-                    tbest=t_c[:, 0], coarse_bits=cbits, n_sub=n_sub,
-                )
+                act_n, sub_n = recheck(t_c)
                 idx_n, counts_n, masks_n, m_n = resid_state(
                     t_c, i_c, tested_, act_n, sub_n
                 )
@@ -1085,7 +1108,7 @@ def light_pdf_sum_chunks(
         ],
         axis=1,
     )
-    act, ent, _ = tile_chunk_activity(
+    act, ent, _, _ = tile_chunk_activity(
         rays, cluster_min, cluster_max, min_dst, ray_tile, interpret
     )
     # Group granularity == one cluster per worklist slot (the [12, CL] block
