@@ -147,6 +147,38 @@ def main() -> int:
         if label == "enclosed-atrium"
         else mrays_upper / BASELINE_MRAYS  # round-2 convention for the field
     )
+
+    # Cross-round comparability: ALSO time the round-2 open-field scene
+    # (BENCH_r02's workload) and carry it as extra fields on the one metric
+    # line, so re-basing the headline onto the honest enclosed scene does
+    # not hide the same-scene round-over-round trend.  Skipped on the CPU
+    # liveness fallback and when the field IS the headline.
+    field_extra = {}
+    if label == "enclosed-atrium" and backend != "cpu":
+        try:
+            fpath = make_sphere_field_gltf(
+                os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3,
+                textured=True,
+            )
+            fscene = parse_gltf_scene(fpath, WIDTH / HEIGHT, config)
+            fscene = dataclasses.replace(
+                fscene, camera=fscene.camera.with_dims(WIDTH, HEIGHT)
+            )
+            render(fscene, spp=SPP, seed=0, config=config)  # warm-up
+            ft_best = None
+            for _ in range(2):
+                ft0 = time.perf_counter()
+                render(fscene, spp=SPP, seed=1, config=config)
+                ft = time.perf_counter() - ft0
+                ft_best = ft if ft_best is None else min(ft_best, ft)
+            fsps = samples / ft_best
+            field_extra = {
+                "field_open_scene_samples_per_s": round(fsps, 1),
+                "field_open_scene_vs_r02": round(fsps / 457287.0, 3),
+            }
+        except Exception as err:  # noqa: BLE001 — comparability is optional
+            print(f"field comparability render failed: {err}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -164,6 +196,7 @@ def main() -> int:
                 "measured_rays": measured_rays,
                 "timing": "best_of_2",
                 "rep_times_s": rep_times,
+                **field_extra,
             }
         )
     )

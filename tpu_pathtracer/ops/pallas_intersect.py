@@ -1030,19 +1030,23 @@ def closest_hit_chunks(
     )
 
 
-def _kernel_light_pdf(
+def _kernel_light_pdf_items(
     wl_ref, rays_ref, wc_ref, k_ref, sum_ref, *, min_dst
 ):
-    """Worklist grid over light clusters: slot s of tile i accumulates the
-    all-hits pdf projection terms of its s-th pierced cluster into a [RT, 1]
-    running sum (the wavefront analog of the reference's light-BVH walk,
-    src/raytracer.h:363-375: every pierced light contributes
+    """Compacted item grid over pierced (tile, cluster) pairs: each step
+    accumulates one cluster's all-hits pdf projection terms into its tile's
+    [RT, 1] running sum (the wavefront analog of the reference's light-BVH
+    walk, src/raytracer.h:363-375: every pierced light contributes
     ``|x-y|^2 / (|cos| * area)``; here = t^2 |d|^2 k / |q_n| with
-    k = 1/(2 area^2) precomputed — see scene/accel.py:light_clusters)."""
-    i = pl.program_id(0)
-    s = pl.program_id(1)
+    k = 1/(2 area^2) precomputed — see scene/accel.py:light_clusters).
+    wl rows = [tile | cluster | live]; tile-major items keep the sum block
+    resident, the first item of a tile zero-inits it, and dead padding
+    items are GATED (a sum is not idempotent — retesting double-counts)."""
+    s = pl.program_id(0)
+    tile = wl_ref[0, s]
+    prev = wl_ref[0, jnp.maximum(s - 1, 0)]
 
-    @pl.when(s == 0)
+    @pl.when((s == 0) | (tile != prev))
     def _init():
         sum_ref[:] = jnp.zeros_like(sum_ref)
 
@@ -1050,7 +1054,7 @@ def _kernel_light_pdf(
     o1 = rays[:, 0:4]
     d0 = rays[:, 4:8]
     d2 = jnp.sum(d0 * d0, axis=1, keepdims=True)  # |d|^2 (4th comp is 0)
-    live = s < wl_ref[i, 0]  # merged [count | ids] row (lane-padding tax)
+    live = wl_ref[2, s] > 0
 
     @pl.when(live)
     def _cluster():
@@ -1115,61 +1119,58 @@ def light_pdf_sum_chunks(
     # is already the DMA unit).
     ga, ge = _group_stats(act, ent, 1)
     idx_full, counts_full, _ = _worklist(ga, ge, c)
-    m = jnp.max(counts_full)
-    caps = sorted({min(c, max(2, -(-c // 8))), min(c, max(4, -(-c // 3))), c})
-
+    # Compacted work-item grid (same design as _kernel_items): the grid is
+    # the dynamic pierced-(tile, cluster) count — no dead slots, no
+    # count-bucket switch.  Items are tile-major so each tile's [RT, 1] sum
+    # block stays resident across its items; the first item zero-inits it,
+    # tiles with no pierced cluster are patched to zero afterwards.
+    wl, m = _item_rows(
+        idx_full, counts_full,
+        jnp.zeros((t_tiles, c, 1), jnp.int32),  # no mask fields needed
+    )
+    # Row 2 = live flag: the pdf SUM is not idempotent (unlike the
+    # min-accumulating hit kernels), so padding items — which repeat the
+    # last valid item — must be gated off, not retested.  (The dynamic grid
+    # never reaches them; interpret mode's static grid does, and m = 0
+    # dispatches one garbage step.)
+    live = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, wl.shape[1]), 1) < m
+    ).astype(jnp.int32)
+    wl = jnp.concatenate([wl[:2], live], axis=0)  # [3, T*c]
+    grid = (wl.shape[1],) if interpret else (jnp.maximum(m, 1),)
     out_shape = jax.ShapeDtypeStruct((r, 1), jnp.float32)
-    ray_spec = pl.BlockSpec(
-        (ray_tile, 8), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ray_tile, 8), lambda s, wl_ref: (wl_ref[0, s], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 12, cluster_woop.shape[-1]),
+                lambda s, wl_ref: (wl_ref[1, s], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cluster_k.shape[-1]),
+                lambda s, wl_ref: (wl_ref[1, s], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
-
-    def run(cap):
-        def go(_):
-            # Merged [count | ids] prefetch row (see _kernel_pass: separate
-            # prefetched operands each pay a lane-padded 64 KB+ SMEM floor).
-            wl = jnp.concatenate(
-                [
-                    jnp.minimum(counts_full, cap)[:, None],
-                    idx_full[:, :cap],
-                ],
-                axis=1,
-            )
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(t_tiles, cap),
-                in_specs=[
-                    ray_spec,
-                    pl.BlockSpec(
-                        (1, 12, cluster_woop.shape[-1]),
-                        lambda i, s, wl_ref: (wl_ref[i, 1 + s], 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, cluster_k.shape[-1]),
-                        lambda i, s, wl_ref: (wl_ref[i, 1 + s], 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (ray_tile, 1), lambda i, s, *_: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            )
-            return pl.pallas_call(
-                functools.partial(_kernel_light_pdf, min_dst=min_dst),
-                grid_spec=grid_spec,
-                out_shape=out_shape,
-                interpret=interpret,
-            )(wl, rays, cluster_woop, cluster_k)
-        return go
-
-    branch = jnp.searchsorted(jnp.asarray(caps, jnp.int32), m)
-    total = jax.lax.cond(
-        m > 0,
-        lambda _: jax.lax.switch(branch, [run(cap) for cap in caps], None),
-        lambda _: jnp.zeros((r, 1), jnp.float32),
-        None,
-    )
+    total = pl.pallas_call(
+        functools.partial(_kernel_light_pdf_items, min_dst=min_dst),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(wl, rays, cluster_woop, cluster_k)
+    vis = jnp.repeat(counts_full > 0, ray_tile)[:, None]
+    total = jnp.where(vis, total, 0.0)
     return total[:, 0] / jnp.maximum(light_count, 1).astype(jnp.float32)
 
 
