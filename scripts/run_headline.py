@@ -15,10 +15,66 @@ out/samples/atrium_1000x1000_1000spp.ppm).
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def supervise() -> int:
+    """Stall watchdog: run the render in a child process, monitor checkpoint
+    progress, and kill + respawn (the child resumes sample-exactly from the
+    checkpoint) when no checkpoint lands for HEADLINE_STALL_S seconds.
+
+    Exists because the shared tunnel can WEDGE mid-execution (observed
+    round 3: 29 min with no progress, process alive and sleeping) — a
+    failure mode the in-process chunk-retry (RenderConfig.failure_retries)
+    cannot catch, since block_until_ready never returns.  Process-level
+    restart + counter-RNG checkpoint resume is the honest recovery path.
+    Env: HEADLINE_STALL_S (default 1200 — safely past the longest observed
+    remote compile, since killing a client mid-compile can wedge the relay),
+    HEADLINE_MAX_RESTARTS (default 20).
+    """
+    stall_s = float(os.environ.get("HEADLINE_STALL_S", "1200"))
+    max_restarts = int(os.environ.get("HEADLINE_MAX_RESTARTS", "20"))
+    ck = os.environ.get("HEADLINE_CKPT", "/tmp/headline_ck.npz")
+    env = dict(os.environ)
+    env.pop("HEADLINE_SUPERVISE", None)
+
+    def ck_mtime():
+        try:
+            return os.path.getmtime(ck)
+        except OSError:
+            return 0.0
+
+    for attempt in range(max_restarts + 1):
+        child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                 env=env)
+        last = max(ck_mtime(), time.time())
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                if rc == 0:
+                    return 0
+                print(json.dumps({"supervisor": "child_exit", "rc": rc,
+                                  "attempt": attempt}), flush=True)
+                break  # crash -> respawn (resumes from checkpoint)
+            m = ck_mtime()
+            if m > last:
+                last = m
+            elif time.time() - last > stall_s:
+                print(json.dumps({"supervisor": "stall_kill",
+                                  "stalled_s": round(time.time() - last),
+                                  "attempt": attempt}), flush=True)
+                child.kill()
+                child.wait()
+                break
+            time.sleep(20)
+        time.sleep(30)  # give the tunnel a moment before reconnecting
+    print(json.dumps({"supervisor": "gave_up",
+                      "restarts": max_restarts}), flush=True)
+    return 1
 
 
 def main() -> int:
@@ -90,4 +146,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if os.environ.get("HEADLINE_SUPERVISE"):
+        raise SystemExit(supervise())
     raise SystemExit(main())
