@@ -439,9 +439,10 @@ def test_chunk_width_64_matches_dense():
 def test_cheap_recheck_matches_dense(monkeypatch):
     """TPU_PT_CHEAP_RECHECK=1 replaces the cascade's slab-sweep rechecks
     with a compare against the STORED per-sub-tile entry minima (bounded by
-    the sub-tile max of the per-ray best t).  Conservative superset of the
-    per-ray recheck -> results must stay exactly equal to the dense
-    oracle, in both pass-grid modes."""
+    the sub-tile max of the per-ray best t); =2 is the hybrid (cheap
+    between near passes, full slab recheck before the residual).
+    Conservative supersets of the per-ray recheck -> results must stay
+    exactly equal to the dense oracle, in both pass-grid modes."""
     verts, valid = _scene(16000, seed=41, spread=20.0)
     woop = build_woop(verts, valid)
     lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
@@ -465,18 +466,22 @@ def test_cheap_recheck_matches_dense(monkeypatch):
     )
     assert np.asarray(dense.hit).sum() > 100
     both = np.asarray(dense.hit)
-    monkeypatch.setenv("TPU_PT_CHEAP_RECHECK", "1")
-    for mode in ("twopass", "items"):
-        closest_hit_chunks.clear_cache()
-        got = closest_hit_chunks(
-            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
-            jnp.asarray(cmax), jnp.asarray(woop), mode=mode, **kw,
-        )
-        np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(got.hit))
-        np.testing.assert_array_equal(
-            np.asarray(got.t)[both], np.asarray(dense.t)[both]
-        )
-        np.testing.assert_array_equal(
-            np.asarray(got.tri)[both], np.asarray(dense.tri)[both]
-        )
+    for cheap_mode in ("1", "2"):
+        monkeypatch.setenv("TPU_PT_CHEAP_RECHECK", cheap_mode)
+        for mode in ("twopass", "items"):
+            closest_hit_chunks.clear_cache()
+            got = closest_hit_chunks(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
+                jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
+                mode=mode, **kw,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dense.hit), np.asarray(got.hit)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.t)[both], np.asarray(dense.t)[both]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.tri)[both], np.asarray(dense.tri)[both]
+            )
     closest_hit_chunks.clear_cache()

@@ -910,10 +910,18 @@ def closest_hit_chunks(
         #   full   re-run the slab sweep with the PER-RAY bound (3.4 ms);
         #   cheap  compare the STORED per-sub-tile entry minima against the
         #          sub-tile MAX of the per-ray bounds — pure XLA, ~free,
-        #          but sub-tile-granular (slightly looser unions).
-        cheap = bool(_env_int("TPU_PT_CHEAP_RECHECK", 0)) and n_sub > 1
+        #          but sub-tile-granular (looser: one boundless ray — e.g.
+        #          an escape ray still at t=inf — un-prunes its whole
+        #          64-ray sub-tile).
+        # TPU_PT_CHEAP_RECHECK: 0 = full everywhere, 1 = cheap everywhere,
+        # 2 = hybrid (cheap between near passes, full before the residual —
+        # the residual is where a loose union costs the most pair ALU, so
+        # it gets the tight per-ray bound while the ladder rechecks ride
+        # the free form).
+        cheap_mode = _env_int("TPU_PT_CHEAP_RECHECK", 0) if n_sub > 1 else 0
 
-        def recheck(t_c):
+        def recheck(t_c, final=False):
+            cheap = cheap_mode == 1 or (cheap_mode == 2 and not final)
             if not cheap:
                 act_, _, sub_, _ = tile_chunk_activity(
                     rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
@@ -927,7 +935,7 @@ def closest_hit_chunks(
             sub_ = ok.astype(jnp.int32)
             return jnp.any(ok, axis=1).astype(jnp.int32), sub_
 
-        for cap in near_caps:
+        for k, cap in enumerate(near_caps):
             ga_p, _ = _group_stats(act_p, ent, group)
             ga_p = ga_p & ~tested
             idx_p, counts_p, _ = _worklist(ga_p, ge, cap)
@@ -936,7 +944,7 @@ def closest_hit_chunks(
                 idx_p, counts_p[:, None], t_cur, i_cur, cap,
             )
             tested = tested.at[rows, idx_p].set(True)
-            act_p, sub_p = recheck(t_cur)
+            act_p, sub_p = recheck(t_cur, final=k == len(near_caps) - 1)
 
         # Residual: everything still active and untested, front-to-back.
         # Small scenes (cg within the SMEM budget) run ONE residual pass
@@ -998,7 +1006,7 @@ def closest_hit_chunks(
                     min(cg, max_cap),
                 )
                 tested_ = tested_.at[rows, idx_c].set(True)
-                act_n, sub_n = recheck(t_c)
+                act_n, sub_n = recheck(t_c, final=True)
                 idx_n, counts_n, masks_n, m_n = resid_state(
                     t_c, i_c, tested_, act_n, sub_n
                 )
