@@ -191,3 +191,77 @@ def test_atrium_bench_scene_enclosed(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(scene.verts), np.asarray(s2.verts)
     )
+
+
+def test_sah_chunk_order_permutation_and_tightness():
+    """sah_chunk_order (scene/accel.py): valid permutation, invalid rows
+    last, and its consecutive-128 chunk AABBs are tighter (by total surface
+    area) than the flat Morton cut — the whole point of the build."""
+    from tpu_pathtracer.scene.accel import morton_order, sah_chunk_order
+
+    rng = np.random.default_rng(3)
+    n, cap = 5000, 5120
+    verts = np.full((cap, 3, 3), 1e30, np.float32)
+    base = rng.uniform(-10, 10, size=(n, 1, 3))
+    verts[:n] = (base + rng.normal(scale=0.2, size=(n, 3, 3))).astype(
+        np.float32
+    )
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+
+    perm = sah_chunk_order(verts, valid, 128)
+    assert sorted(perm.tolist()) == list(range(cap))
+    assert not valid[perm][n:].any() and valid[perm][:n].all()
+
+    def total_sa(perm_):
+        v = verts[perm_]
+        ok = valid[perm_]
+        pad = (-cap) % 128
+        assert pad == 0
+        c = cap // 128
+        vv = v.reshape(c, 128, 3, 3)
+        okc = ok.reshape(c, 128)
+        mn = np.where(okc[:, :, None, None], vv, np.inf).min(axis=(1, 2))
+        mx = np.where(okc[:, :, None, None], vv, -np.inf).max(axis=(1, 2))
+        nonempty = okc.any(axis=1)
+        d = np.maximum(mx - mn, 0)[nonempty]
+        return float(
+            (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]).sum()
+        )
+
+    sa_sah = total_sa(perm)
+    sa_morton = total_sa(morton_order(verts, valid))
+    assert sa_sah < sa_morton
+
+
+def test_sah_vs_morton_render_agree(tmp_path, monkeypatch):
+    """Triangle order is estimator-internal: TPU_PT_BUILD=sah and =morton
+    renders of the same scene must agree to the MC noise floor (per-sample
+    streams differ because the uniform light pick indexes a permuted light
+    array, so this is a statistical check, not bit equality)."""
+    import dataclasses
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.pathtracer import render
+
+    p = make_cornell_gltf(str(tmp_path / "c.gltf"))
+    config = RenderConfig(rays_per_batch=4096, spp_per_pass=16)
+    imgs = {}
+    for mode, seed in (("sah", 5), ("morton", 5), ("morton2", 11)):
+        monkeypatch.setenv("TPU_PT_BUILD", mode.rstrip("2"))
+        scene = parse_gltf_scene(p, 1.0, config)
+        scene = dataclasses.replace(
+            scene, camera=scene.camera.with_dims(48, 48)
+        )
+        imgs[mode] = np.asarray(
+            render(scene, spp=48, seed=seed, config=config)
+        )
+
+    def rmse(a, b):
+        return float(np.sqrt(np.mean((imgs[a] - imgs[b]) ** 2)))
+
+    # Yardstick: the same build at a different seed IS the MC noise floor.
+    floor = rmse("morton", "morton2")
+    assert rmse("sah", "morton") < 1.5 * floor, (rmse("sah", "morton"), floor)
+    # And per-channel means agree much tighter than per-pixel noise.
+    assert abs(imgs["sah"].mean() - imgs["morton"].mean()) < 0.01

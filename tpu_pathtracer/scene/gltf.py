@@ -481,7 +481,9 @@ def _pack_triangle_scene(
     config: RenderConfig,
 ) -> T.TriangleScene:
     from ..ops.intersect import build_woop, tri_capacity
-    from .accel import LEAF_SIZE, build_leaves, leaf_woop, morton_order
+    from .accel import (
+        LEAF_SIZE, build_leaves, leaf_woop, morton_order, sah_chunk_order,
+    )
 
     n = acc.n_tris()
     cap = tri_capacity(n)
@@ -510,9 +512,17 @@ def _pack_triangle_scene(
     valid = np.zeros(cap, dtype=bool)
     valid[:n] = True
 
-    # Morton-sort all per-triangle data (the traversal layout — and a
-    # locality win for shade-stage gathers).
-    perm = morton_order(verts, valid)
+    # Spatially sort all per-triangle data (the traversal layout — and a
+    # locality win for shade-stage gathers).  Default "sah": chunk-aligned
+    # sweep-SAH treelets (tighter chunk AABBs -> fewer cascade activations
+    # than the flat Morton cut); "morton" keeps the round-2 LBVH curve.
+    from ..ops.pallas_intersect import CHUNK_TRIS as _DEFAULT_CHUNK_TRIS
+
+    chunk_tris = int(os.environ.get("TPU_PT_CHUNK_TRIS", _DEFAULT_CHUNK_TRIS))
+    if os.environ.get("TPU_PT_BUILD", "sah") == "sah":
+        perm = sah_chunk_order(verts, valid, chunk_tris)
+    else:
+        perm = morton_order(verts, valid)
     verts = verts[perm]
     normals = normals[perm]
     uvs = uvs[perm]
@@ -555,15 +565,15 @@ def _pack_triangle_scene(
     woop_cols = build_woop(verts, valid)
     lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
     lw = leaf_woop(woop_cols, LEAF_SIZE)
-    from ..ops.pallas_intersect import CHUNK_TRIS, build_chunk_woop
+    from ..ops.pallas_intersect import build_chunk_woop
     from .accel import chunk_aabbs
 
     # Chunk width: the intersector's ALU unit is (sub-tile x chunk); a
     # narrower chunk tests fewer triangles per activated pair at the cost
     # of more chunks (prepass/worklist columns).  Env knob for on-chip
     # sweeps; must be a LEAF_SIZE multiple (kernels read the width from
-    # chunk_woop.shape[-1], so any multiple of 16 compiles).
-    chunk_tris = int(os.environ.get("TPU_PT_CHUNK_TRIS", CHUNK_TRIS))
+    # chunk_woop.shape[-1], so any multiple of 16 compiles).  Read once
+    # above (the SAH build aligns its treelet cuts to the same width).
     cmin, cmax = chunk_aabbs(lmin, lmax, chunk_tris // LEAF_SIZE)
     cw = build_chunk_woop(woop_cols, chunk_tris)
 
