@@ -108,9 +108,13 @@ def sah_chunk_order(
     m = idx_valid.shape[0]
     if m == 0:
         return np.arange(n)
-    v = verts[idx_valid].astype(np.float64)
-    tmin = v.min(axis=1)  # [m, 3] per-triangle AABBs
-    tmax = v.max(axis=1)
+    v = verts[idx_valid].astype(np.float32)
+    # Per-triangle AABBs, packed as [m, 6] = (min, -max) so ONE running
+    # minimum yields both prefix bounds (min of -max = -(max)).  f32 keys
+    # and bounds: the build only steers work placement — kernels recompute
+    # every AABB/intersection exactly — so build precision is free to
+    # trade for the ~2x host-time win at Sponza-class counts.
+    tbox = np.concatenate([v.min(axis=1), -v.max(axis=1)], axis=1)
     cent = v.mean(axis=1)
     out = np.empty(m, dtype=np.int64)
     pos = 0
@@ -124,10 +128,14 @@ def sah_chunk_order(
             out[pos : pos + k] = ids
             pos += k
             continue
-        lo = cent[ids].min(axis=0)
-        hi = cent[ids].max(axis=0)
+        c_ids = cent[ids]
+        lo = c_ids.min(axis=0)
+        hi = c_ids.max(axis=0)
         axis = int(np.argmax(hi - lo))
-        order = ids[np.argsort(cent[ids, axis], kind="stable")]
+        # numpy's default introsort is deterministic for a given input;
+        # tie order differs from a stable sort but any permutation is a
+        # valid build.
+        order = ids[np.argsort(c_ids[:, axis])]
         # Aligned cut positions: left side a chunk multiple, both sides
         # non-empty.  (k > chunk, so at least one position exists.)
         n_cuts = (k - 1) // chunk
@@ -135,18 +143,15 @@ def sah_chunk_order(
         if n_cuts == 1:
             best = cuts[0]
         else:
-            pre_min = np.minimum.accumulate(tmin[order], axis=0)
-            pre_max = np.maximum.accumulate(tmax[order], axis=0)
-            suf_min = np.minimum.accumulate(tmin[order][::-1], axis=0)[::-1]
-            suf_max = np.maximum.accumulate(tmax[order][::-1], axis=0)[::-1]
+            boxes = tbox[order]
+            pre = np.minimum.accumulate(boxes, axis=0)
+            suf = np.minimum.accumulate(boxes[::-1], axis=0)[::-1]
 
-            def area(mn, mx):
-                d = np.maximum(mx - mn, 0.0)
+            def area(b):
+                d = np.maximum(-b[:, 3:] - b[:, :3], 0.0)
                 return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
 
-            sa_l = area(pre_min[cuts - 1], pre_max[cuts - 1])
-            sa_r = area(suf_min[cuts], suf_max[cuts])
-            cost = sa_l * cuts + sa_r * (k - cuts)
+            cost = area(pre[cuts - 1]) * cuts + area(suf[cuts]) * (k - cuts)
             best = int(cuts[np.argmin(cost)])
         # Right pushed first so the left child is processed (and emitted)
         # first — DFS order.
