@@ -265,3 +265,26 @@ def test_sah_vs_morton_render_agree(tmp_path, monkeypatch):
     assert rmse("sah", "morton") < 1.5 * floor, (rmse("sah", "morton"), floor)
     # And per-channel means agree much tighter than per-pixel noise.
     assert abs(imgs["sah"].mean() - imgs["morton"].mean()) < 0.01
+
+
+def test_sah_chunk_order_degenerate_inputs():
+    """Identical centroids (zero extent on every axis), tiny counts, and
+    exact-multiple counts must all produce valid permutations."""
+    from tpu_pathtracer.scene.accel import sah_chunk_order
+
+    # All triangles at the same point: sort keys all equal on every axis.
+    verts = np.zeros((512, 3, 3), np.float32)
+    valid = np.ones(512, bool)
+    perm = sah_chunk_order(verts, valid, 128)
+    assert sorted(perm.tolist()) == list(range(512))
+
+    # Fewer triangles than one chunk.
+    valid2 = np.zeros(512, bool)
+    valid2[:7] = True
+    perm2 = sah_chunk_order(verts, valid2, 128)
+    assert sorted(perm2.tolist()) == list(range(512))
+    assert valid2[perm2][:7].all()
+
+    # No valid triangles at all.
+    perm3 = sah_chunk_order(verts, np.zeros(512, bool), 128)
+    assert sorted(perm3.tolist()) == list(range(512))
