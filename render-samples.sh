@@ -10,6 +10,10 @@
 # with no timings).
 cd "$(dirname "$0")"
 W=${W:-1000}; H=${H:-1000}; SPP=${SPP:-100}
+# Per-scene wall-clock bound (default 40 min): generous past the longest
+# observed remote compile (never kill a client mid-compile - it can wedge
+# the relay), tight enough that one pathological scene cannot eat the sweep.
+SCENE_TIMEOUT=${SCENE_TIMEOUT:-2400}
 mkdir -p out/samples
 : > out/samples/timings.jsonl
 shopt -s nullglob
@@ -17,7 +21,7 @@ scenes=(sample_data/gltf/*.gltf /root/reference/sample_data/*.txt /root/referenc
 for f in "${scenes[@]}"; do
   name=$(basename "$f")
   t0=$(date +%s.%N)
-  if ./run.sh "$f" "$W" "$H" "$SPP" "out/samples/${name%.*}.ppm"; then
+  if timeout "$SCENE_TIMEOUT" ./run.sh "$f" "$W" "$H" "$SPP" "out/samples/${name%.*}.ppm"; then
     dt=$(echo "$(date +%s.%N) $t0" | awk '{printf "%.1f", $1 - $2}')
     echo "{\"scene\": \"$name\", \"width\": $W, \"height\": $H, \"spp\": $SPP, \"seconds\": $dt, \"ok\": true}" >> out/samples/timings.jsonl
     echo -e "\e[0;32m$name ok (${dt}s)\e[0m"
