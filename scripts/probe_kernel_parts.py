@@ -84,7 +84,7 @@ def main() -> int:
         )
     )
     for name, (oo, dd) in (("primary", (o, d)), ("incoherent", (o2, d2))):
-        a, _ent, _sub = act_f(oo, dd)
+        a, _ent, _sub, _sub_ent = act_f(oo, dd)
         emit(
             part="activity", rays=name, ms=round(bench(act_f, oo, dd) - base, 2),
             frac_active=round(float(jnp.mean(a.astype(jnp.float32))), 3),

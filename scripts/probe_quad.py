@@ -3,7 +3,11 @@
 
 Cross-session chip timings vary with relay congestion; this probe times
 both texture-fetch layouts (and full hit_info with each) in ONE process so
-the comparison is clean.  Env: PROBE_K (16), PROBE_R (65536)."""
+the comparison is clean.  Env: PROBE_K (16), PROBE_R (65536).
+
+The quad pool is opt-in (TPU_PT_QUAD_MAX texel cap, default 0 = off); the
+probe force-enables it for its own scene load so the A/B always has both
+layouts to time."""
 
 import dataclasses
 import json
@@ -38,6 +42,7 @@ def main() -> int:
     r = int(os.environ.get("PROBE_R", "65536"))
     eps = 1e-4
     path = make_atrium_gltf("/tmp/probe_quad/a.gltf", detail=2)
+    os.environ.setdefault("TPU_PT_QUAD_MAX", str(1 << 26))  # force the pool on
     scene = parse_gltf_scene(path, 1.0)
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(512, 512))
     config = RenderConfig()

@@ -101,21 +101,36 @@ def main() -> int:
     n_tris = int(scene.valid.sum())
     print(f"headline: {n_tris} tris, {size}x{size} @ {spp} spp", flush=True)
 
+    # Resumed offset must be read BEFORE rendering: the first progress
+    # callback fires after the first pass with that pass already folded in,
+    # so inferring the offset from it overcounts by one checkpoint pass
+    # (and reports fresh_spp=0 for a short fresh run).  Replicate the
+    # loader's validity checks so a stale checkpoint (which the renderer
+    # ignores) counts as offset 0.
+    from tpu_pathtracer.parallel.checkpoint import RenderState, scene_fingerprint
+
+    resumed_from = 0
+    if os.path.exists(ck):
+        try:
+            st = RenderState.load(ck)
+            if (st.width, st.height, st.seed) == (size, size, 0) and (
+                st.fingerprint in (0, scene_fingerprint(scene, config))
+            ):
+                # Clamp: a checkpoint already past `spp` renders nothing.
+                resumed_from = min(st.samples_done, spp)
+        except Exception:  # noqa: BLE001 — corrupt checkpoint = fresh start
+            pass
+
     t0 = time.time()
-    done_holder = {"last": 0, "t_first": None}
 
     def progress(done, total):
-        now = time.time() - t0
-        if done_holder["t_first"] is None:
-            done_holder["t_first"] = done  # resumed offset
         print(
             json.dumps(
                 {"spp_done": done, "spp_total": total,
-                 "elapsed_s": round(now, 1)}
+                 "elapsed_s": round(time.time() - t0, 1)}
             ),
             flush=True,
         )
-        done_holder["last"] = done
 
     img = render_with_checkpoints(
         scene, spp=spp, seed=0, config=config, checkpoint_path=ck,
@@ -123,7 +138,6 @@ def main() -> int:
         progress=progress,
     )
     dt = time.time() - t0
-    resumed_from = done_holder["t_first"] or 0
     fresh_spp = spp - resumed_from
     samples = size * size * fresh_spp
     import numpy as np

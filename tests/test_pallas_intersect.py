@@ -1,5 +1,6 @@
 """Pallas chunk intersector vs the dense oracle (interpret mode on CPU)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -484,4 +485,25 @@ def test_cheap_recheck_matches_dense(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(got.tri)[both], np.asarray(dense.tri)[both]
             )
+    closest_hit_chunks.clear_cache()
+
+
+def test_unknown_intersect_mode_rejected(monkeypatch):
+    """A typo'd TPU_PT_INTERSECT/mode must raise, not silently fall through
+    to the slot-grid cascade (which would ship the wrong variant's timing in
+    an env-knob A/B campaign)."""
+    verts, valid = _scene(512, seed=7, spread=8.0)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+    o = np.zeros((128, 3), np.float32)
+    d = np.tile(np.array([1, 0, 0], np.float32), (128, 1))
+    closest_hit_chunks.clear_cache()
+    with pytest.raises(ValueError, match="unknown intersect mode"):
+        closest_hit_chunks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw),
+            jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(woop),
+            min_dst=EPS, ray_tile=128, interpret=True, mode="item",
+        )
     closest_hit_chunks.clear_cache()

@@ -502,7 +502,7 @@ def render_chunk_persistent(
     n_rays: int,
     spp: int,
     config: RenderConfig,
-) -> jnp.ndarray:  # [n_rays, 3] mean radiance
+) -> Tuple[jnp.ndarray, jnp.ndarray]:  # ([n_rays, 3] mean radiance, [] rays)
     """Persistent-wavefront engine with TRUE stream compaction.
 
     The scan engine (``render_chunk``) keeps dispatch width R for all

@@ -855,6 +855,13 @@ def closest_hit_chunks(
     # retune's 70.7 -> 59.2.  "twopass" keeps the slot grid; "dense" is the
     # A/B oracle.
     mode = mode or os.environ.get("TPU_PT_INTERSECT", "items")
+    if mode not in ("items", "twopass", "dense"):
+        # Reject typos loudly: a silent fall-through to the slot grid would
+        # ship the wrong variant's timing in an env-knob A/B campaign.
+        raise ValueError(
+            f"unknown intersect mode {mode!r} (TPU_PT_INTERSECT): "
+            "expected items | twopass | dense"
+        )
     if mode == "items":
         run_pass = run_pass_items
     if mode == "dense":

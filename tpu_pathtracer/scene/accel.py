@@ -12,7 +12,7 @@ consecutive runs form the leaves/chunks every kernel streams.  Two builders:
   order.  ~2.3x tighter chunk AABBs than the Morton cut on the atrium
   scene (and 2.4x fewer pierced chunks per ray);
 * ``morton_order`` — 30-bit Morton curve of centroids (the LBVH ordering);
-  kept for A/B and for light clustering.
+  kept for A/B (``TPU_PT_BUILD=morton``).
 
 Downstream, consecutive runs of ``LEAF_SIZE`` triangles form leaves with
 AABBs, and runs of CHUNK_TRIS form the Pallas intersector's chunks;
@@ -211,7 +211,8 @@ def chunk_aabbs(
 
 
 def light_clusters(lverts: np.ndarray, count: int, cluster: int = 128):
-    """Morton-clustered light blocks for the sub-linear all-hits pdf.
+    """Spatially-clustered light blocks for the sub-linear all-hits pdf
+    (same chunk-aligned SAH treelet ordering as the geometry build).
 
     The reference's light BVH exists to (a) pick a light uniformly and
     (b) sum pdf projection terms over every emissive triangle a ray pierces

@@ -165,7 +165,7 @@ class LightSet:
     area: jnp.ndarray  # [L]
     count: jnp.ndarray  # [] int32
 
-    # Morton-clustered copy for the sub-linear all-hits pdf at scale
+    # Spatially-clustered copy for the sub-linear all-hits pdf at scale
     # (ops/pallas_intersect.light_pdf_sum_chunks — the wavefront analog of
     # the reference's light-BVH walk, src/raytracer.h:363-375 over
     # src/bvh.h:237-260).  128 lights per cluster, same block layout as the
