@@ -142,6 +142,20 @@ def main() -> int:
         file=sys.stderr,
     )
     backend = os.environ.get("TPU_PATHTRACER_PLATFORM") or "tpu"
+    # On the CPU liveness fallback, attach the most recent ON-CHIP line from
+    # the committed history (clearly labeled) so a tunnel outage at measure
+    # time does not erase the measured story; on-chip runs append to the
+    # history below.
+    history_extra = {}
+    if backend == "cpu":
+        try:
+            with open("out/bench_history.jsonl") as f:
+                for raw in f:
+                    row = json.loads(raw)
+                    if "cpu" not in row.get("metric", ""):
+                        history_extra = {"last_on_chip_result": row}
+        except (OSError, json.JSONDecodeError):
+            pass
     vs = (
         samples_per_s / BASELINE_SAMPLES_PER_S
         if label == "enclosed-atrium"
@@ -179,27 +193,32 @@ def main() -> int:
         except Exception as err:  # noqa: BLE001 — comparability is optional
             print(f"field comparability render failed: {err}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{label}-{n_tris // 1000}k-tris measured Mrays/s "
-                    f"({WIDTH}x{HEIGHT}@{SPP}spp, depth {scene.ray_depth}, "
-                    f"{backend}); vs_baseline = pixel-samples/s over the "
-                    f"reference CPU's 3.5e5 on enclosed Sponza"
-                ),
-                "value": round(mrays_measured, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(vs, 3),
-                "pixel_samples_per_s": round(samples_per_s, 1),
-                "mrays_depth8_upper_bound": round(mrays_upper, 3),
-                "measured_rays": measured_rays,
-                "timing": "best_of_2",
-                "rep_times_s": rep_times,
-                **field_extra,
-            }
-        )
-    )
+    line = {
+        "metric": (
+            f"{label}-{n_tris // 1000}k-tris measured Mrays/s "
+            f"({WIDTH}x{HEIGHT}@{SPP}spp, depth {scene.ray_depth}, "
+            f"{backend}); vs_baseline = pixel-samples/s over the "
+            f"reference CPU's 3.5e5 on enclosed Sponza"
+        ),
+        "value": round(mrays_measured, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs, 3),
+        "pixel_samples_per_s": round(samples_per_s, 1),
+        "mrays_depth8_upper_bound": round(mrays_upper, 3),
+        "measured_rays": measured_rays,
+        "timing": "best_of_2",
+        "rep_times_s": rep_times,
+        **field_extra,
+        **history_extra,
+    }
+    if backend != "cpu":
+        try:
+            os.makedirs("out", exist_ok=True)
+            with open("out/bench_history.jsonl", "a") as f:
+                f.write(json.dumps({"ts": time.time(), **line}) + "\n")
+        except OSError:
+            pass
+    print(json.dumps(line))
     return 0
 
 
