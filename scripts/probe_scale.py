@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Scene-size scaling probe: samples/s at 82k / 460k / 820k triangles.
+"""Scene-size scaling probe: samples/s at 82k / 460k / 820k / 2M triangles.
 
 VERDICT r2 missing #2's done-criterion: 820k-tri samples/s within 2x of the
 82k scene (round 2 measured 3.4x).  Renders 512x512 @ SPP (default 8) on the
 real chip with the production render() path and prints one JSON line per
-scene.  Env: PROBE_SCENES=field82,atrium2,atrium3,field820 (comma list),
+scene.  Env: PROBE_SCENES=field82,atrium2,atrium3,field820,field2m (comma list),
 PROBE_SPP, TPU_PT_NARROW_TILE_CHUNKS / BENCH_SORT as usual.
 """
 
@@ -40,6 +40,10 @@ def main() -> int:
             d + "/f.gltf", 64, 3, textured=True),
         "field820": lambda d: make_sphere_field_gltf(
             d + "/f.gltf", 160, 4, textured=True),
+        # Next order of magnitude (VERDICT r2 missing #2's "2-5M scene
+        # renders without the prepass dominating"); host build ~77 s.
+        "field2m": lambda d: make_sphere_field_gltf(
+            d + "/f.gltf", 400, 4, textured=True),
         "atrium2": lambda d: make_atrium_gltf(d + "/a.gltf", detail=2),
         "atrium3": lambda d: make_atrium_gltf(d + "/a.gltf", detail=3),
     }
