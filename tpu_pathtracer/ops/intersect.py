@@ -76,10 +76,10 @@ def build_woop(verts: np.ndarray, valid: np.ndarray) -> np.ndarray:
     trans = -np.einsum("nij,nj->ni", minv, a)  # [N, 3]
     w = np.concatenate([minv, trans[:, :, None]], axis=-1)  # [N, 3, 4]
     w = np.where(ok[:, None, None], w, np.nan)
-    # [N, 3, 4] -> [4, 3N] with columns grouped per triangle.
-    return np.ascontiguousarray(w.transpose(2, 0, 1).reshape(4, 3 * n)).astype(
-        np.float32
-    )
+    # [N, 3, 4] -> [4, 3N] with columns grouped per triangle.  astype with
+    # order="C" does the permuted copy in ONE pass (the reshape after it is
+    # then free) — the reshape-first form forced an extra strided copy.
+    return w.transpose(2, 0, 1).astype(np.float32, order="C").reshape(4, 3 * n)
 
 
 class Hit(NamedTuple):

