@@ -30,7 +30,7 @@ def ref_binary(tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [11, 23, 47, 104, 111, 117])
 def test_fuzz_scene_mean_parity(tmp_path, ref_binary, seed):
     scene_path = make_fuzz_gltf(str(tmp_path / f"fuzz{seed}.gltf"), seed)
     w = h = 48
