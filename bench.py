@@ -168,7 +168,11 @@ def main() -> int:
     # not hide the same-scene round-over-round trend.  Skipped on the CPU
     # liveness fallback and when the field IS the headline.
     field_extra = {}
-    if label == "enclosed-atrium" and backend != "cpu":
+    if (
+        label == "enclosed-atrium"
+        and backend != "cpu"
+        and not os.environ.get("BENCH_NO_FIELD")  # A/B campaigns skip it
+    ):
         try:
             fpath = make_sphere_field_gltf(
                 os.path.join(tmp, "field.gltf"), n_spheres=64, subdiv=3,

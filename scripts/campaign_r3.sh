@@ -33,16 +33,16 @@ run_cfg() {
 # 1. Shipped defaults (SAH build, full rechecks) — the headline candidate.
 run_cfg sah_default                   DUMMY=1
 # 2-3. Recheck forms on top of SAH.
-run_cfg sah_cheap2                    TPU_PT_CHEAP_RECHECK=2
-run_cfg sah_cheap1                    TPU_PT_CHEAP_RECHECK=1
+run_cfg sah_cheap2                    BENCH_NO_FIELD=1 TPU_PT_CHEAP_RECHECK=2
+run_cfg sah_cheap1                    BENCH_NO_FIELD=1 TPU_PT_CHEAP_RECHECK=1
 # 4. Build control: isolates the SAH-vs-Morton win at equal kernel config.
-run_cfg morton_control                TPU_PT_BUILD=morton
+run_cfg morton_control                BENCH_NO_FIELD=1 TPU_PT_BUILD=morton
 # 5. Open-field cross-round comparability (r2 scene) on the new defaults.
 run_cfg field82_sah                   BENCH_SCENE=field
 # 6. Ladder sanity on the tighter build (unions shrank; the optimum cap may
 #    have moved down).
-run_cfg sah_near_2_6                  TPU_PT_NEAR=2,6
-run_cfg sah_near_8_24                 TPU_PT_NEAR=8,24
+run_cfg sah_near_2_6                  BENCH_NO_FIELD=1 TPU_PT_NEAR=2,6
+run_cfg sah_near_8_24                 BENCH_NO_FIELD=1 TPU_PT_NEAR=8,24
 
 # One retry pass for configs that fell back to CPU or failed outright.
 if [ ${#RETRY_LIST[@]} -gt 0 ]; then
