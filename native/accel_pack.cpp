@@ -30,22 +30,28 @@ inline std::uint64_t spread_bits(std::uint64_t x) {
 
 }  // namespace
 
-extern "C" {
+// Each entry point is templated on the vertex element type and exported for
+// float32 and float64: the scene pipeline keeps verts in f32, and the former
+// f32 -> f64 conversion the fixed-f64 ABI forced cost more host time than
+// the packing itself at Sponza-class counts.  All internal math stays f64.
 
 // Morton-order permutation of valid triangles (invalid rows last, stable).
-// verts: [n, 3, 3] float64; valid: [n] uint8; perm_out: [n] int64.
-void morton_argsort(const double* verts, const std::uint8_t* valid,
-                    std::int64_t n, std::int64_t* perm_out) {
+// verts: [n, 3, 3]; valid: [n] uint8; perm_out: [n] int64.
+template <typename V>
+static void morton_argsort_t(const V* verts, const std::uint8_t* valid,
+                             std::int64_t n, std::int64_t* perm_out) {
     std::vector<double> cx(n), cy(n), cz(n);
     double lo[3] = {std::numeric_limits<double>::infinity(),
                     std::numeric_limits<double>::infinity(),
                     std::numeric_limits<double>::infinity()};
     double hi[3] = {-lo[0], -lo[1], -lo[2]};
     for (std::int64_t i = 0; i < n; ++i) {
-        const double* v = verts + i * 9;
-        cx[i] = (v[0] + v[3] + v[6]) / 3.0;
-        cy[i] = (v[1] + v[4] + v[7]) / 3.0;
-        cz[i] = (v[2] + v[5] + v[8]) / 3.0;
+        const V* v = verts + i * 9;
+        // Promote per element: the f32 entry point must agree bit-for-bit
+        // with "convert to f64, then pack" (the old ABI and the numpy twin).
+        cx[i] = ((double)v[0] + (double)v[3] + (double)v[6]) / 3.0;
+        cy[i] = ((double)v[1] + (double)v[4] + (double)v[7]) / 3.0;
+        cz[i] = ((double)v[2] + (double)v[5] + (double)v[8]) / 3.0;
         if (valid[i]) {
             lo[0] = std::min(lo[0], cx[i]); hi[0] = std::max(hi[0], cx[i]);
             lo[1] = std::min(lo[1], cy[i]); hi[1] = std::max(hi[1], cy[i]);
@@ -80,14 +86,17 @@ void morton_argsort(const double* verts, const std::uint8_t* valid,
 // Per-triangle Woop inverse transforms, [4, 3n] float32 column-grouped
 // layout (see ops/intersect.py:build_woop).  NaN rows for degenerate or
 // invalid triangles.
-void build_woop(const double* verts, const std::uint8_t* valid,
-                std::int64_t n, float* out /* [4 * 3n] */) {
+template <typename V>
+static void build_woop_t(const V* verts, const std::uint8_t* valid,
+                         std::int64_t n, float* out /* [4 * 3n] */) {
     const double nan = std::numeric_limits<double>::quiet_NaN();
     for (std::int64_t i = 0; i < n; ++i) {
-        const double* v = verts + i * 9;
-        double a[3] = {v[0], v[1], v[2]};
-        double e1[3] = {v[3] - v[0], v[4] - v[1], v[5] - v[2]};
-        double e2[3] = {v[6] - v[0], v[7] - v[1], v[8] - v[2]};
+        const V* v = verts + i * 9;
+        double a[3] = {(double)v[0], (double)v[1], (double)v[2]};
+        double e1[3] = {(double)v[3] - a[0], (double)v[4] - a[1],
+                        (double)v[5] - a[2]};
+        double e2[3] = {(double)v[6] - a[0], (double)v[7] - a[1],
+                        (double)v[8] - a[2]};
         double n0[3] = {e1[1] * e2[2] - e1[2] * e2[1],
                         e1[2] * e2[0] - e1[0] * e2[2],
                         e1[0] * e2[1] - e1[1] * e2[0]};
@@ -126,22 +135,23 @@ void build_woop(const double* verts, const std::uint8_t* valid,
 }
 
 // Leaf AABBs over consecutive runs of leaf_size triangles.
-// verts: [n, 3, 3] f64 (Morton-ordered), valid: [n] u8;
+// verts: [n, 3, 3] (spatially ordered), valid: [n] u8;
 // out_min/out_max: [n/leaf_size, 3] float32.
-void build_leaf_aabbs(const double* verts, const std::uint8_t* valid,
-                      std::int64_t n, std::int64_t leaf_size,
-                      float* out_min, float* out_max) {
+template <typename V>
+static void build_leaf_aabbs_t(const V* verts, const std::uint8_t* valid,
+                               std::int64_t n, std::int64_t leaf_size,
+                               float* out_min, float* out_max) {
     const double inf = std::numeric_limits<double>::infinity();
     std::int64_t l = n / leaf_size;
     for (std::int64_t leaf = 0; leaf < l; ++leaf) {
         double mn[3] = {inf, inf, inf}, mx[3] = {-inf, -inf, -inf};
         for (std::int64_t t = leaf * leaf_size; t < (leaf + 1) * leaf_size; ++t) {
             if (!valid[t]) continue;
-            const double* v = verts + t * 9;
+            const V* v = verts + t * 9;
             for (int vert = 0; vert < 3; ++vert)
                 for (int a = 0; a < 3; ++a) {
-                    mn[a] = std::min(mn[a], v[vert * 3 + a]);
-                    mx[a] = std::max(mx[a], v[vert * 3 + a]);
+                    mn[a] = std::min(mn[a], (double)v[vert * 3 + a]);
+                    mx[a] = std::max(mx[a], (double)v[vert * 3 + a]);
                 }
         }
         for (int a = 0; a < 3; ++a) {
@@ -149,6 +159,35 @@ void build_leaf_aabbs(const double* verts, const std::uint8_t* valid,
             out_max[leaf * 3 + a] = (float)mx[a];
         }
     }
+}
+
+extern "C" {
+
+void morton_argsort(const double* verts, const std::uint8_t* valid,
+                    std::int64_t n, std::int64_t* perm_out) {
+    morton_argsort_t(verts, valid, n, perm_out);
+}
+void morton_argsort_f32(const float* verts, const std::uint8_t* valid,
+                        std::int64_t n, std::int64_t* perm_out) {
+    morton_argsort_t(verts, valid, n, perm_out);
+}
+void build_woop(const double* verts, const std::uint8_t* valid,
+                std::int64_t n, float* out) {
+    build_woop_t(verts, valid, n, out);
+}
+void build_woop_f32(const float* verts, const std::uint8_t* valid,
+                    std::int64_t n, float* out) {
+    build_woop_t(verts, valid, n, out);
+}
+void build_leaf_aabbs(const double* verts, const std::uint8_t* valid,
+                      std::int64_t n, std::int64_t leaf_size,
+                      float* out_min, float* out_max) {
+    build_leaf_aabbs_t(verts, valid, n, leaf_size, out_min, out_max);
+}
+void build_leaf_aabbs_f32(const float* verts, const std::uint8_t* valid,
+                          std::int64_t n, std::int64_t leaf_size,
+                          float* out_min, float* out_max) {
+    build_leaf_aabbs_t(verts, valid, n, leaf_size, out_min, out_max);
 }
 
 }  // extern "C"

@@ -31,8 +31,13 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so_path = os.path.join(_repo_root(), "native", "libaccel_pack.so")
-    if not os.path.exists(so_path) and build_if_missing:
-        src = os.path.join(_repo_root(), "native", "accel_pack.cpp")
+    src = os.path.join(_repo_root(), "native", "accel_pack.cpp")
+    stale = (
+        os.path.exists(so_path)
+        and os.path.exists(src)
+        and os.path.getmtime(so_path) < os.path.getmtime(src)
+    )
+    if (not os.path.exists(so_path) or stale) and build_if_missing:
         if os.path.exists(src):
             try:
                 subprocess.check_call(
@@ -41,7 +46,10 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                     stderr=subprocess.DEVNULL,
                 )
             except Exception:
-                return None
+                if stale:
+                    pass  # keep using the existing (older) library
+                else:
+                    return None
     if not os.path.exists(so_path):
         return None
     try:
@@ -56,8 +64,24 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     lib.morton_argsort.argtypes = [f64p, u8p, i64, i64p]
     lib.build_woop.argtypes = [f64p, u8p, i64, f32p]
     lib.build_leaf_aabbs.argtypes = [f64p, u8p, i64, i64, f32p, f32p]
+    # f32 entry points (templated twins; bit-identical to convert-then-pack).
+    # getattr-guarded so a pre-built older .so still loads.
+    if hasattr(lib, "build_woop_f32"):
+        lib.morton_argsort_f32.argtypes = [f32p, u8p, i64, i64p]
+        lib.build_woop_f32.argtypes = [f32p, u8p, i64, f32p]
+        lib.build_leaf_aabbs_f32.argtypes = [f32p, u8p, i64, i64, f32p, f32p]
     _LIB = lib
     return _LIB
+
+
+def _verts_arg(lib, verts: np.ndarray, fn_name: str):
+    """Pick the f32 or f64 entry point for ``verts``'s dtype, avoiding the
+    60 MB-scale f32 -> f64 conversion the fixed-f64 ABI used to force."""
+    if verts.dtype == np.float32 and hasattr(lib, fn_name + "_f32"):
+        return getattr(lib, fn_name + "_f32"), np.ascontiguousarray(
+            verts, dtype=np.float32
+        )
+    return getattr(lib, fn_name), np.ascontiguousarray(verts, dtype=np.float64)
 
 
 def morton_argsort(verts: np.ndarray, valid: np.ndarray) -> Optional[np.ndarray]:
@@ -65,10 +89,10 @@ def morton_argsort(verts: np.ndarray, valid: np.ndarray) -> Optional[np.ndarray]
     if lib is None:
         return None
     n = verts.shape[0]
-    v = np.ascontiguousarray(verts, dtype=np.float64)
+    fn, v = _verts_arg(lib, verts, "morton_argsort")
     ok = np.ascontiguousarray(valid, dtype=np.uint8)
     perm = np.empty(n, dtype=np.int64)
-    lib.morton_argsort(v, ok, n, perm)
+    fn(v, ok, n, perm)
     return perm
 
 
@@ -77,10 +101,10 @@ def build_woop(verts: np.ndarray, valid: np.ndarray) -> Optional[np.ndarray]:
     if lib is None:
         return None
     n = verts.shape[0]
-    v = np.ascontiguousarray(verts, dtype=np.float64)
+    fn, v = _verts_arg(lib, verts, "build_woop")
     ok = np.ascontiguousarray(valid, dtype=np.uint8)
     out = np.empty((4, 3 * n), dtype=np.float32)
-    lib.build_woop(v, ok, n, out)
+    fn(v, ok, n, out)
     return out
 
 
@@ -91,10 +115,10 @@ def build_leaf_aabbs(
     if lib is None:
         return None
     n = verts.shape[0]
-    v = np.ascontiguousarray(verts, dtype=np.float64)
+    fn, v = _verts_arg(lib, verts, "build_leaf_aabbs")
     ok = np.ascontiguousarray(valid, dtype=np.uint8)
     l = n // leaf_size
     out_min = np.empty((l, 3), dtype=np.float32)
     out_max = np.empty((l, 3), dtype=np.float32)
-    lib.build_leaf_aabbs(v, ok, n, leaf_size, out_min, out_max)
+    fn(v, ok, n, leaf_size, out_min, out_max)
     return out_min, out_max
