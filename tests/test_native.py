@@ -70,3 +70,45 @@ def test_build_leaf_aabbs_matches_numpy(lib, monkeypatch):
     wmin, wmax = build_leaves(verts, valid, 16)
     np.testing.assert_allclose(gmin, wmin)
     np.testing.assert_allclose(gmax, wmax)
+
+
+def test_native_sah_quality():
+    """The native sweep-SAH twin must produce a valid chunk-aligned
+    permutation of equal split quality to the numpy build (tie order inside
+    sorts may differ -> permutations need not be bit-equal)."""
+    import tpu_pathtracer.scene.accel as accel
+    from tpu_pathtracer.scene import native
+
+    if native.load_library() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    n = 40_000
+    centers = rng.uniform(-20, 20, (40, 3))
+    base = centers[rng.integers(0, 40, n)]
+    verts = (base[:, None, :] + rng.normal(scale=0.4, size=(n, 3, 3))).astype(
+        np.float32
+    )
+    valid = np.ones(n, bool)
+    valid[-17:] = False
+    p_nat = native.sah_chunk_order(verts, valid, 128)
+    orig = accel._use_native
+    accel._use_native = lambda: False
+    try:
+        p_np = accel.sah_chunk_order(verts, valid, 128)
+    finally:
+        accel._use_native = orig
+
+    def chunk_sa(perm):
+        v = verts[perm][: valid.sum()]
+        c = v.shape[0] // 128
+        v = v[: c * 128].reshape(c, 128, 3, 3)
+        d = v.max(axis=(1, 2)) - v.min(axis=(1, 2))
+        return float((d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                      + d[:, 2] * d[:, 0]).sum())
+
+    assert sorted(p_nat.tolist()) == list(range(n))  # a permutation
+    assert not valid[p_nat[-17:]].any()  # invalid rows last
+    ratio = chunk_sa(p_nat) / chunk_sa(p_np)
+    assert 0.98 < ratio < 1.02, f"split quality diverged: SA ratio {ratio}"

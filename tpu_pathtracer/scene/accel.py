@@ -103,6 +103,12 @@ def sah_chunk_order(
     scene.  Pure permutation: renders are estimator-identical under any
     triangle order (pinned by test_sah_order_matches_morton_render).
     """
+    if _use_native():
+        from . import native
+
+        perm = native.sah_chunk_order(verts, valid, chunk)
+        if perm is not None:
+            return perm
     n = verts.shape[0]
     idx_valid = np.nonzero(valid)[0]
     m = idx_valid.shape[0]

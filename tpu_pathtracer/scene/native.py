@@ -70,6 +70,9 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         lib.morton_argsort_f32.argtypes = [f32p, u8p, i64, i64p]
         lib.build_woop_f32.argtypes = [f32p, u8p, i64, f32p]
         lib.build_leaf_aabbs_f32.argtypes = [f32p, u8p, i64, i64, f32p, f32p]
+    if hasattr(lib, "sah_chunk_order"):
+        lib.sah_chunk_order.argtypes = [f64p, u8p, i64, i64, i64p]
+        lib.sah_chunk_order_f32.argtypes = [f32p, u8p, i64, i64, i64p]
     _LIB = lib
     return _LIB
 
@@ -93,6 +96,25 @@ def morton_argsort(verts: np.ndarray, valid: np.ndarray) -> Optional[np.ndarray]
     ok = np.ascontiguousarray(valid, dtype=np.uint8)
     perm = np.empty(n, dtype=np.int64)
     fn(v, ok, n, perm)
+    return perm
+
+
+def sah_chunk_order(
+    verts: np.ndarray, valid: np.ndarray, chunk: int
+) -> Optional[np.ndarray]:
+    """Native chunk-aligned sweep-SAH ordering (see accel.sah_chunk_order).
+
+    Tie order inside a sort differs from numpy's introsort, so the
+    permutation is not bit-equal to the numpy build — both are valid builds
+    of equal split quality (asserted by test_native_sah_quality)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "sah_chunk_order"):
+        return None
+    n = verts.shape[0]
+    fn, v = _verts_arg(lib, verts, "sah_chunk_order")
+    ok = np.ascontiguousarray(valid, dtype=np.uint8)
+    perm = np.empty(n, dtype=np.int64)
+    fn(v, ok, n, chunk, perm)
     return perm
 
 
