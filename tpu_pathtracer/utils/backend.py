@@ -43,7 +43,14 @@ def ensure_live_backend(timeout_s: int = 240) -> None:
 
     No-op when a platform override is already set or the backend is healthy.
     """
-    if os.environ.get("TPU_PATHTRACER_PLATFORM"):
+    override = os.environ.get("TPU_PATHTRACER_PLATFORM")
+    if override:
+        # Apply it, don't just skip the probe: callers outside the CLI
+        # (__graft_entry__, probes) otherwise still initialize the default
+        # tunnel backend and hang when it is dead.
+        import jax
+
+        jax.config.update("jax_platforms", override)
         return
     if not tpu_alive(timeout_s):
         import jax
