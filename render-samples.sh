@@ -17,7 +17,21 @@ SCENE_TIMEOUT=${SCENE_TIMEOUT:-2400}
 mkdir -p out/samples
 : > out/samples/timings.jsonl
 shopt -s nullglob
-scenes=(sample_data/gltf/*.gltf /root/reference/sample_data/*.txt /root/reference/sample_data/homebrew_primitives/*.txt)
+# The reference sweep renders every sample glTF; the course files are
+# gitignored upstream, so generate the procedural glTF fixtures (Cornell,
+# enclosed atrium, textured sphere field) to stand in for them.
+GLTF_DIR=${GLTF_DIR:-out/sweep_gltf}
+python - "$GLTF_DIR" <<'PYEOF'
+import sys, os
+d = sys.argv[1]
+os.makedirs(d, exist_ok=True)
+from tpu_pathtracer.utils.testscenes import (
+    make_cornell_gltf, make_atrium_gltf, make_sphere_field_gltf)
+make_cornell_gltf(os.path.join(d, "cornell.gltf"))
+make_atrium_gltf(os.path.join(d, "atrium_57k.gltf"), detail=1)
+make_sphere_field_gltf(os.path.join(d, "field_82k.gltf"), 64, 3, textured=True)
+PYEOF
+scenes=("$GLTF_DIR"/*.gltf sample_data/gltf/*.gltf /root/reference/sample_data/*.txt /root/reference/sample_data/homebrew_primitives/*.txt)
 for f in "${scenes[@]}"; do
   name=$(basename "$f")
   t0=$(date +%s.%N)
