@@ -7,7 +7,9 @@ HBM costs ~50 KB of random-access traffic per ray-bounce.  This kernel
 inverts the dataflow so triangle data *streams* HBM->VMEM in large
 sequential blocks instead:
 
-* triangles (already Morton-ordered) are grouped into chunks of
+* triangles (already spatially ordered by the build — chunk-aligned
+  sweep-SAH treelets by default, Morton curve as A/B) are grouped into
+  chunks of
   ``CHUNK_TRIS`` = 128 — one full VPU lane width;
 * a prepass kernel (one grid step per ray tile, everything fused in VMEM)
   computes, per (ray-tile, chunk), whether ANY ray in the tile enters the
@@ -1355,7 +1357,7 @@ def ray_sort_key_hint(
     n_chunks: int,
 ) -> jnp.ndarray:  # [R] int32
     """Coherence key from the SURFACE the ray spawned on: direction octant
-    (major) x the Morton-ordered chunk id of the previous bounce's hit.
+    (major) x the spatially-ordered chunk id of the previous bounce's hit.
 
     Chunks adapt to geometry (every id is 128 triangles of actual surface)
     where the origin-cell grid (ray_sort_key) mostly indexes empty air, so
@@ -1387,7 +1389,7 @@ def ray_sort_key(
     bounds (12 bits).  Rays sorted by this key land in tiles whose
     chunk-activity unions approach the per-ray minimum — Morton cell order
     keeps a tile's origins in one compact spatial blob, matching the
-    Morton-ordered chunk layout; dead rays sort last so their tiles skip
+    spatially-ordered chunk layout; dead rays sort last so their tiles skip
     every chunk.  (A 64-direction-bin fine key was swept on chip and lost:
     15.24 s vs 17.32 s end-to-end.)"""
     octant = (

@@ -170,11 +170,12 @@ def sah_chunk_order(
 def build_leaves(
     verts: np.ndarray, valid: np.ndarray, leaf_size: int = LEAF_SIZE
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Leaf AABBs over consecutive (Morton-ordered) triangle runs.
+    """Leaf AABBs over consecutive (spatially ordered) triangle runs.
 
     Returns (aabb_min [L, 3], aabb_max [L, 3]); leaves containing only
     padding triangles get inverted (never-hit) boxes.  Assumes the caller has
-    already applied morton_order to verts/valid and that len % leaf_size == 0.
+    already applied the build ordering to verts/valid and that
+    len % leaf_size == 0.
     """
     if _use_native():
         from . import native
