@@ -507,3 +507,42 @@ def test_unknown_intersect_mode_rejected(monkeypatch):
             min_dst=EPS, ray_tile=128, interpret=True, mode="item",
         )
     closest_hit_chunks.clear_cache()
+
+
+def test_production_scale_matches_oracle():
+    """Exactness at a chunk count where the PRODUCTION thresholds engage on
+    their own (super-block gate past 2048 chunks, SMEM-budgeted caps,
+    iterating residual) — no forced knobs.  The XLA dense sweep is the
+    oracle; its scanned TRI_BLOCK path rounds t differently from the
+    broadcast-FMA form (~1 ulp), so t compares to 1e-5 relative while hit
+    masks and triangle ids must be exactly equal (verified benign at 2M
+    tris / 16008 chunks: 4/57 rays differed by <=8e-6 on the same tri)."""
+    verts, valid = _scene(333_000, seed=51, spread=60.0)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+    assert cw.shape[0] > 2048  # the super-block gate engages for real
+
+    rng = np.random.default_rng(52)
+    r = 128
+    o = rng.uniform(-70, 70, size=(r, 3)).astype(np.float32)
+    aim = rng.uniform(-40, 40, size=(r, 3)).astype(np.float32)
+    d = aim - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    closest_hit_chunks.clear_cache()
+    got = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), min_dst=EPS, ray_tile=128,
+        interpret=True,
+    )
+    oracle = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(woop), EPS)
+    both = np.asarray(oracle.hit)
+    assert both.sum() > 20
+    np.testing.assert_array_equal(np.asarray(got.hit), both)
+    np.testing.assert_array_equal(np.asarray(got.tri)[both],
+                                  np.asarray(oracle.tri)[both])
+    np.testing.assert_allclose(np.asarray(got.t)[both],
+                               np.asarray(oracle.t)[both], rtol=1e-5)
+    closest_hit_chunks.clear_cache()
