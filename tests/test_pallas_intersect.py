@@ -253,6 +253,51 @@ def test_super_block_gate_matches_dense(monkeypatch):
     )
 
 
+def test_gated_recheck_matches_ungated(monkeypatch):
+    """Live-block-gated rechecks (TPU_PT_GATE_RECHECK, default on) skip
+    activity grid steps whose column block has no active-untested group
+    left.  Gating must be result-invariant: gated == ungated == dense.
+    _ACT_COLS is shrunk so the small scene spans several column blocks and
+    the gate has real skipping opportunities (rays that hit early tighten
+    their t bound and kill whole far blocks between passes)."""
+    import tpu_pathtracer.ops.pallas_intersect as pi
+
+    verts, valid = _scene(16000, seed=41, spread=20.0)  # 125 chunks
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+
+    rng = np.random.default_rng(42)
+    r = 256
+    o = rng.uniform(-24, 24, size=(r, 3)).astype(np.float32)
+    aim = rng.uniform(-12, 12, size=(r, 3)).astype(np.float32)
+    d = aim - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    kw = dict(min_dst=EPS, ray_tile=128, interpret=True)
+    args = (
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop),
+    )
+    dense = closest_hit_chunks(*args, mode="dense", **kw)
+    monkeypatch.setattr(pi, "_ACT_COLS", 64)  # 125 chunks -> 2 blocks
+    for gate in ("1", "0"):
+        monkeypatch.setenv("TPU_PT_GATE_RECHECK", gate)
+        closest_hit_chunks.clear_cache()  # env + _ACT_COLS read at trace
+        got = closest_hit_chunks(*args, mode="twopass", **kw)
+        np.testing.assert_array_equal(
+            np.asarray(dense.hit), np.asarray(got.hit)
+        )
+        both = np.asarray(dense.hit)
+        np.testing.assert_array_equal(
+            np.asarray(got.t)[both], np.asarray(dense.t)[both]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.tri)[both], np.asarray(dense.tri)[both]
+        )
+
+
 def test_activity_on_plane_zero_direction_component():
     """Regression: a ray whose origin lies exactly ON a chunk-AABB plane
     with a zero direction component along that axis must still activate the

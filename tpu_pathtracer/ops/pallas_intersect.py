@@ -362,6 +362,31 @@ def _pack_group_masks(sub: jnp.ndarray, group: int) -> jnp.ndarray:
     )  # [T, CG, W]
 
 
+def _live_block_bits(live: jnp.ndarray, group: int) -> jnp.ndarray:
+    """[T, CG] bool of groups still worth rechecking -> [T, ceil(nb/32)]
+    int32 gate words at activity-column-block granularity (nb blocks of
+    ``_ACT_COLS`` chunks = ``_ACT_COLS // group`` groups each).
+
+    Gates the cascade's activity RECHECKS: a recheck's result is only ever
+    consumed as ``act & ~tested`` (group level), and activity under a
+    tighter t bound is a subset of the previous activity — so a column
+    block none of whose groups is (previously active AND untested) cannot
+    contribute, and its whole grid step can be skipped outright.
+
+    Expanded to chunk granularity before blocking so groups that straddle
+    a column-block boundary (group not dividing _ACT_COLS) mark BOTH
+    blocks."""
+    t_tiles, _ = live.shape
+    lc = jnp.repeat(live, group, axis=1)  # [T, cg*group] per-chunk live
+    padb = (-lc.shape[1]) % _ACT_COLS
+    if padb:
+        lc = jnp.pad(lc, ((0, 0), (0, padb)))
+    blk = jnp.any(
+        lc.reshape(t_tiles, -1, _ACT_COLS), axis=2
+    ).astype(jnp.int32)
+    return _bitpack(blk)
+
+
 def _group_stats(act, ent, group):
     """Chunk-level activity/entry -> group level: a group is active when any
     of its chunks is; its entry is the nearest active chunk entry."""
@@ -718,7 +743,9 @@ def closest_hit_chunks(
     # ray enters are skipped from a prefetched coarse bit (VERDICT r2
     # missing #2: the traversal level above chunks).
     cbits = None
-    if -(-cg * group // _ACT_COLS) > _SUPER_BLOCK_MIN:
+    if -(-cg * group // _ACT_COLS) > _env_int(
+        "TPU_PT_SUPER_MIN", _SUPER_BLOCK_MIN
+    ):
         cbits = super_block_bits(
             rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
         )
@@ -879,13 +906,18 @@ def closest_hit_chunks(
         # 3.4 ms + worklist glue 2.4 ms per recheck) for pruning the later
         # passes mostly re-derive — pass1 ~cg/9 is the measured optimum
         # (59.3 ms/iter vs 73.5 at the old cg/64, all checksums equal).
+        # The r3 on-chip campaign (out/campaign_r3.jsonl) then measured the
+        # half-size ladder "2,6" fastest on the enclosed atrium under the
+        # SAH build (246.4k vs 243.2k samples/s for "4,12"); pruning
+        # schedules cannot change results (exactness is oracle-tested), so
+        # the campaign winner is the default.
         if pass1_cap:
             ladder = (pass1_cap, pass1_cap * 3)
         else:
             base = max(_env_int("TPU_PT_PASS1_MIN", 4), cg // 9)
             ladder = tuple(
                 int(x) * base // 4
-                for x in os.environ.get("TPU_PT_NEAR", "4,12").split(",")
+                for x in os.environ.get("TPU_PT_NEAR", "2,6").split(",")
             )
         # SMEM budget per pass, mode-dependent: the item layout is
         # [2 + W, T*cap] int32 lane-padded only (16*T bytes per cap slot —
@@ -929,12 +961,22 @@ def closest_hit_chunks(
         # the free form).
         cheap_mode = _env_int("TPU_PT_CHEAP_RECHECK", 0) if n_sub > 1 else 0
 
-        def recheck(t_c, final=False):
+        def recheck(t_c, live=None, final=False):
             cheap = cheap_mode == 1 or (cheap_mode == 2 and not final)
             if not cheap:
+                # Live-block gate: skip whole recheck grid steps whose
+                # column block has no (previously active AND untested)
+                # group left — valid because activity only shrinks under a
+                # tighter t bound and the result is consumed as
+                # ``act & ~tested`` (see _live_block_bits).
+                gate = cbits
+                if live is not None and _env_int("TPU_PT_GATE_RECHECK", 1):
+                    gate = _live_block_bits(live, group)
+                    if cbits is not None:
+                        gate = gate & cbits
                 act_, _, sub_, _ = tile_chunk_activity(
                     rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
-                    tbest=t_c[:, 0], coarse_bits=cbits, n_sub=n_sub,
+                    tbest=t_c[:, 0], coarse_bits=gate, n_sub=n_sub,
                 )
                 return act_, sub_
             tb_sub = jnp.max(
@@ -953,7 +995,9 @@ def closest_hit_chunks(
                 idx_p, counts_p[:, None], t_cur, i_cur, cap,
             )
             tested = tested.at[rows, idx_p].set(True)
-            act_p, sub_p = recheck(t_cur, final=k == len(near_caps) - 1)
+            act_p, sub_p = recheck(
+                t_cur, live=ga_p & ~tested, final=k == len(near_caps) - 1
+            )
 
         # Residual: everything still active and untested, front-to-back.
         # Small scenes (cg within the SMEM budget) run ONE residual pass
