@@ -20,6 +20,16 @@ ENV_BY_CONFIG = {
     "morton_control": "TPU_PT_BUILD=morton",
     "sah_near_2_6": "TPU_PT_NEAR=2,6",
     "sah_near_8_24": "TPU_PT_NEAR=8,24",
+    # Second wave (campaign_r3b.sh; NEAR=2,6 became the code default, so
+    # its winner env no longer needs to carry it).
+    "gate_default": "",
+    "gate_off": "TPU_PT_GATE_RECHECK=0",
+    "super3": "TPU_PT_SUPER_MIN=3",
+    "near_1_3": "TPU_PT_NEAR=1,3",
+    "near_1_2_6": "TPU_PT_NEAR=1,2,6",
+    "rpb128k": "BENCH_RPB=131072",
+    "rpb256k": "BENCH_RPB=262144",
+    "combo_128k_super3": "BENCH_RPB=131072 TPU_PT_SUPER_MIN=3",
 }
 
 

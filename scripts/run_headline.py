@@ -93,7 +93,12 @@ def main() -> int:
     out = os.environ.get(
         "HEADLINE_OUT", "out/samples/atrium_1000x1000_1000spp.ppm"
     )
-    config = RenderConfig(rays_per_batch=1 << 16, spp_per_pass=16)
+    # BENCH_RPB is honored so a campaign winner env that tunes the
+    # wavefront width applies to the headline run too.
+    config = RenderConfig(
+        rays_per_batch=int(os.environ.get("BENCH_RPB", 1 << 16)),
+        spp_per_pass=16,
+    )
 
     path = make_atrium_gltf("/tmp/headline/atrium.gltf", detail=2)
     scene = parse_gltf_scene(path, 1.0, config)
