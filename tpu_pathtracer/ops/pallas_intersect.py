@@ -87,7 +87,12 @@ _GROUP = 8  # chunks per main-kernel grid step.  On-chip sweep (8/16/32,
 # degrades beyond ~48 KB — while amortizing the ~1 us per-step fixed cost.
 
 _ACT_COLS = 512  # chunk columns per activity grid step (bounds vreg stack)
-_SUPER_BLOCK_MIN = 4  # column blocks above which the coarse gate engages
+# Column blocks above which the coarse super-block gate engages.  3 makes
+# it engage at enclosed-atrium scale (4 blocks): the r3b campaign measured
+# 250.3k vs 249.0k samples/s with it off there (out/campaign_r3b.jsonl) —
+# the gate also feeds the live-block recheck gate, so engaging it earlier
+# compounds.  Env-overridable (TPU_PT_SUPER_MIN) for A/B.
+_SUPER_BLOCK_MIN = 3
 
 
 def _env_int(name: str, default: int) -> int:
