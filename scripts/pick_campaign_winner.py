@@ -30,6 +30,13 @@ ENV_BY_CONFIG = {
     "rpb128k": "BENCH_RPB=131072",
     "rpb256k": "BENCH_RPB=262144",
     "combo_128k_super3": "BENCH_RPB=131072 TPU_PT_SUPER_MIN=3",
+    # Third wave (campaign_r3c.sh; SUPER_MIN=3 became the code default).
+    "base": "",
+    "cheap2": "TPU_PT_CHEAP_RECHECK=2",
+    "cheap1": "TPU_PT_CHEAP_RECHECK=1",
+    "near4": "TPU_PT_NEAR=4",
+    "near8": "TPU_PT_NEAR=8",
+    "cheap2_near4": "TPU_PT_CHEAP_RECHECK=2 TPU_PT_NEAR=4",
 }
 
 
