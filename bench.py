@@ -66,10 +66,13 @@ def main() -> int:
     )
 
     # On-chip sweep winner (scripts/probe_render.py): 64k-ray wavefronts,
-    # whole-bench-spp passes.
+    # whole-bench-spp passes.  The pool cap keeps work-id/bounce counters
+    # int32-safe at convergence-scale BENCH_SPP (the engine rejects pools
+    # with n_rays*spp*depth >= 2^31); 256 never binds at the default 16.
+    rpb = int(os.environ.get("BENCH_RPB", 1 << 16))
     config = RenderConfig(
-        rays_per_batch=int(os.environ.get("BENCH_RPB", 1 << 16)),
-        spp_per_pass=max(SPP, 1),
+        rays_per_batch=rpb,
+        spp_per_pass=max(1, min(SPP, (2**31 - 1) // (rpb * 16), 256)),
         sort_key=os.environ.get("BENCH_SORT", "hint"),
     )
     tmp = tempfile.mkdtemp(prefix="bench_scene_")

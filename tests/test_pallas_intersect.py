@@ -591,3 +591,73 @@ def test_production_scale_matches_oracle():
     np.testing.assert_allclose(np.asarray(got.t)[both],
                                np.asarray(oracle.t)[both], rtol=1e-5)
     closest_hit_chunks.clear_cache()
+
+
+def test_padding_chunks_never_activate():
+    """All-padding chunks must be NEVER-HIT (NaN boxes), not inverted
+    +inf/-inf boxes: the slab test's per-axis min/max swaps an inverted
+    box's infinities into t_lo=-inf / t_hi=+inf, i.e. an always-hit box
+    with the minimum possible entry distance — which would head every
+    front-to-back worklist, burn near-ladder cap slots, and collapse the
+    "target" sort key into a single bucket (code-review r3 finding)."""
+    from tpu_pathtracer.ops.pallas_intersect import (
+        group_boxes,
+        nearest_box_ids,
+        tile_chunk_activity,
+    )
+
+    # 1100 tris -> capacity 2048 (TRI_BLOCK multiple) -> chunks 9..15 are
+    # all-padding.
+    verts, valid = _scene(1100, seed=7)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    pad_chunks = ~np.isfinite(cmin[:, 0])
+    assert pad_chunks.sum() >= 2 and pad_chunks[-1]
+    assert np.isnan(cmin[pad_chunks]).all() and np.isnan(cmax[pad_chunks]).all()
+
+    rng = np.random.default_rng(8)
+    r = 128
+    o = rng.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.concatenate(
+        [
+            jnp.asarray(o), jnp.ones((r, 1), jnp.float32),
+            jnp.asarray(d), jnp.zeros((r, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    act, ent, _, _ = tile_chunk_activity(
+        rays, jnp.asarray(cmin), jnp.asarray(cmax), EPS, ray_tile=128,
+        interpret=True,
+    )
+    act, ent = np.asarray(act), np.asarray(ent)
+    assert not act[:, pad_chunks].any()
+    assert np.isinf(ent[:, pad_chunks]).all()
+    # Real chunks in front of the rays still activate.
+    assert act[:, ~pad_chunks].any()
+
+    # The target sort key's first-entered-group argmin must never return a
+    # padding group (with inverted boxes it returned one for EVERY ray not
+    # strictly inside a real group box).
+    g_lo, g_hi = group_boxes(jnp.asarray(cmin), jnp.asarray(cmax))
+    ids = np.asarray(
+        nearest_box_ids(
+            jnp.asarray(o), jnp.asarray(d), g_lo, g_hi, EPS, ray_tile=128,
+            interpret=True,
+        )
+    )
+    pad_groups = np.nonzero(~np.isfinite(np.asarray(g_lo)[:, 0]))[0]
+    assert not np.isin(ids, pad_groups).any()
+    assert (ids >= 0).any()
+
+
+def test_empty_light_clusters_are_nan():
+    from tpu_pathtracer.scene.accel import light_clusters
+
+    rng = np.random.default_rng(9)
+    lv = np.zeros((256, 3, 3), np.float64)
+    lv[:40] = rng.uniform(-2, 2, size=(40, 3, 3))
+    cl_min, cl_max, _, _ = light_clusters(lv, count=40, cluster=128)
+    assert np.isnan(cl_min[1]).all() and np.isnan(cl_max[1]).all()
+    assert np.isfinite(cl_min[0]).all()

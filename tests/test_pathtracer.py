@@ -62,10 +62,10 @@ def test_persistent_engine_matches_scan(tmp_path):
 
 def test_measured_rays_stats(tmp_path):
     """render(stats=...) reports the TRUE rays traced by the persistent
-    engine: at least one ray per executed (lane, sample) work item, at most
-    ray_depth of them, and exactly zero extra beyond the padded work pool."""
-    from tpu_pathtracer.models.pathtracer import pick_chunk
-
+    engine: at least one ray per (useful pixel, sample) work item, at most
+    ray_depth of them — and none for the ray-tile padding (the work pool is
+    dense over useful pixels, so out-of-image lanes are never spawned;
+    code-review r3: padding used to inflate both work and the count)."""
     scene = _load(make_cornell_gltf, tmp_path, 16, 16)
     config = RenderConfig(compaction=True)
     spp = 4
@@ -73,12 +73,10 @@ def test_measured_rays_stats(tmp_path):
     img = render(scene, spp=spp, seed=0, config=config, stats=stats)
     assert np.isfinite(img).all()
     n = stats["measured_rays"]
-    # The pixel chunk is padded up to the Pallas ray tile; padded lanes
-    # trace real work items too (their results are discarded on readback).
-    lanes = pick_chunk(config, 16 * 16)
-    assert lanes * spp <= n <= lanes * spp * scene.ray_depth
+    npix = 16 * 16  # chunk pads to the 512-lane ray tile; counts must not
+    assert npix * spp <= n <= npix * spp * scene.ray_depth
     # Cornell is mostly enclosed: typical paths bounce more than once.
-    assert n > int(1.5 * lanes * spp)
+    assert n > int(1.5 * npix * spp)
 
 
 def test_persistent_engine_sample_start(tmp_path):
@@ -245,6 +243,9 @@ def test_chunk_retry_recovers_exactly(tmp_path, monkeypatch):
         def __getitem__(self, sl):
             raise RuntimeError("TPU worker process crashed (simulated)")
 
+        def __array__(self, *a, **kw):
+            raise RuntimeError("TPU worker process crashed (simulated)")
+
     # Poison the FIRST chunk's first dispatch only; the retry recomputes it
     # through the (restored) real engine.
     engine = pt.render_chunk_persistent
@@ -254,12 +255,22 @@ def test_chunk_retry_recovers_exactly(tmp_path, monkeypatch):
         rad, nb = engine(*args, **kw)
         if state["first"]:
             state["first"] = False
-            return Bomb(rad), nb
+            # A real worker crash poisons EVERY array of that execution,
+            # including the bounce-count scalar: the stats path must survive
+            # it too (it used to re-raise at the stats line AFTER a
+            # successful recompute — code-review r3 finding).
+            return Bomb(rad), Bomb(nb)
         return rad, nb
 
     monkeypatch.setattr(pt, "render_chunk_persistent", flaky_engine)
-    got = render(scene, spp=3, seed=4)
+    stats = {}
+    got = render(scene, spp=3, seed=4, stats=stats)
     np.testing.assert_array_equal(got, want)
+    # The recovered render's measured-ray count comes from the recompute and
+    # matches the undisturbed render's.
+    ref_stats = {}
+    render(scene, spp=3, seed=4, stats=ref_stats)
+    assert stats["measured_rays"] == ref_stats["measured_rays"] > 0
 
 
 def test_sort_keys_observationally_free(tmp_path):
@@ -284,3 +295,18 @@ def test_sort_keys_observationally_free(tmp_path):
     assert np.isfinite(imgs[0]).all() and imgs[0].max() > 0.01
     np.testing.assert_array_equal(imgs[0], imgs[1])
     np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
+def test_unknown_sort_key_rejected(tmp_path):
+    """Typos must fail loudly (same contract as TPU_PT_INTERSECT): a silent
+    fall-through to the 'cell' key would ship the wrong variant's timing in
+    a BENCH_SORT campaign."""
+    import pytest
+
+    from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
+
+    p = make_sphere_field_gltf(str(tmp_path / "f.gltf"), n_spheres=4, subdiv=2)
+    scene = parse_gltf_scene(p, 1.0)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(64, 64))
+    with pytest.raises(ValueError, match="unknown sort_key"):
+        render(scene, spp=1, seed=0, config=RenderConfig(sort_key="taget"))

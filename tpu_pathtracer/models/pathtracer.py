@@ -380,6 +380,14 @@ def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
         ray_sort_key_target,
     )
 
+    if config.sort_key not in ("hint", "cell", "target"):
+        # Reject typos loudly (same contract as TPU_PT_INTERSECT): a silent
+        # fall-through to the "cell" key would ship the wrong variant's
+        # timing in a BENCH_SORT A/B campaign.
+        raise ValueError(
+            f"unknown sort_key {config.sort_key!r}: expected hint | cell | "
+            "target"
+        )
     if config.sort_key == "target":
         g_lo, g_hi = group_boxes(scene.chunk_aabb_min, scene.chunk_aabb_max)
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -400,8 +408,9 @@ def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
 
         return key_fn
 
-    scene_lo = jnp.min(scene.chunk_aabb_min, axis=0)
-    scene_hi = jnp.max(scene.chunk_aabb_max, axis=0)
+    # nan-reductions: all-padding chunks carry NaN never-hit boxes.
+    scene_lo = jnp.nanmin(scene.chunk_aabb_min, axis=0)
+    scene_hi = jnp.nanmax(scene.chunk_aabb_max, axis=0)
     n_chunks = scene.chunk_woop.shape[0]
 
     def key_fn(o, d, alive, hint):
@@ -502,6 +511,8 @@ def render_chunk_persistent(
     n_rays: int,
     spp: int,
     config: RenderConfig,
+    pix_count: jnp.ndarray | None = None,  # [] int32 useful pixels (see
+    #   persistent_accum) — rows [pix_count, n_rays) of the result are 0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:  # ([n_rays, 3] mean radiance, [] rays)
     """Persistent-wavefront engine with TRUE stream compaction.
 
@@ -525,9 +536,25 @@ def render_chunk_persistent(
     rays traced (the reference's derived Mrays range assumed 4-8 bounces per
     path, BASELINE.md; this removes the convention).
     """
+    # int32 safety: work ids and the bounce counter are int32 on device.
+    # A pool of n_rays*spp work items can produce up to ~pool*ray_depth
+    # bounces per call; reject configurations that could wrap instead of
+    # silently publishing a negative measured-ray count (code-review r3
+    # finding: BENCH_SPP=8192 at 64k lanes wraps).  Callers split spp into
+    # spp_per_pass pools, so the fix is a smaller spp_per_pass.
+    if n_rays * spp * max(1, int(scene.ray_depth)) >= 2**31:
+        raise ValueError(
+            f"persistent pool too large for int32 counters: n_rays={n_rays} "
+            f"* spp={spp} * ray_depth={int(scene.ray_depth)} >= 2^31 — "
+            "lower spp_per_pass (or rays_per_batch)"
+        )
+    pool_pix = (
+        jnp.asarray(n_rays, jnp.int32) if pix_count is None
+        else jnp.asarray(pix_count, jnp.int32)
+    )
     acc, n_bounce = persistent_accum(
         scene, chunk_start, key, sample_start, n_rays,
-        jnp.asarray(n_rays * spp, jnp.int32), config,
+        pool_pix * spp, config, pix_count=pix_count,
     )
     return acc / spp, n_bounce
 
@@ -541,13 +568,21 @@ def persistent_accum(
     w_total: jnp.ndarray,  # [] int32 TRACED work-pool size (<= n_rays * spp);
     #   traced so SPMD ranks with different sample counts share one program
     config: RenderConfig,
+    pix_count: jnp.ndarray | None = None,  # [] int32 traced: pixels this
+    #   chunk actually covers (< n_rays when the chunk is the padded image
+    #   tail).  None = every lane slot is a real pixel (n_rays-dense pool).
 ):  # ([n_rays, 3] radiance SUM over the pool's samples, [] int32 rays traced)
     """Core persistent-wavefront loop (see render_chunk_persistent).
 
-    Work item w covers (pixel slot w % n_rays, local sample w // n_rays);
-    callers divide the returned sum by their true spp."""
+    Work item w covers (pixel slot w % P, local sample w // P) where
+    P = pix_count or n_rays; callers divide the returned sum by their true
+    spp.  The pix_count form keeps the pool DENSE over useful pixels: the
+    padded image tail is never spawned, so out-of-image lanes trace no
+    discarded paths and the rays-traced counter stays honest (code-review
+    r3: at 1000x1000 the padded tail inflated work and measured_rays ~5%)."""
     depth_cap = scene.ray_depth
     w_total = jnp.asarray(w_total, jnp.int32)
+    pool_pix = n_rays if pix_count is None else jnp.asarray(pix_count, jnp.int32)
     sort_rays = scene.capacity > 1024 and n_rays >= 2048
     if sort_rays:
         sort_key = _make_sort_key(scene, config, n_rays)
@@ -555,8 +590,8 @@ def persistent_accum(
     def spawn(work_ids, valid):
         """Primary rays for work ids (sample-major order)."""
         w = jnp.where(valid, work_ids, 0)
-        slot = (w % n_rays).astype(jnp.int32)
-        s = (w // n_rays).astype(jnp.int32)
+        slot = (w % pool_pix).astype(jnp.int32)
+        s = (w // pool_pix).astype(jnp.int32)
         pids = chunk_start + slot
         # Pixel-jitter draws: the JITTER_DEPTH stream of (pixel, sample) —
         # identical to render_chunk's offsets.
@@ -757,10 +792,10 @@ def render(
     n_tiles = ((npix + chunk - 1) // chunk) * ((spp + pass_spp - 1) // pass_spp)
     done_tiles = 0
     pending = []
-    ray_counts = []  # per-dispatch measured bounce-ray counts (device scalars)
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
         acc = None
+        counts = []  # this chunk's measured bounce-ray counts (device scalars)
         for s0 in range(0, spp, pass_spp):
             if progress:
                 # Span-progress analog (src/raytracer.h:647).
@@ -771,46 +806,76 @@ def render(
             todo = min(pass_spp, spp - s0)
             eng = render_chunk_persistent if config.compaction else render_chunk
             with phase("dispatch"):  # trace+compile on first call, then enqueue
-                rad = eng(
-                    scene,
-                    jnp.asarray(start, jnp.int32),
-                    base,
-                    jnp.asarray(s0, jnp.int32),
-                    chunk,
-                    todo,
-                    config,
-                )
                 if config.compaction:
-                    rad, nb = rad
-                    ray_counts.append(nb)
+                    # pix_count only for the padded tail chunk: full chunks
+                    # keep the static power-of-2 slot modulus (and the
+                    # already-compiled program).
+                    pc = None if n == chunk else jnp.asarray(n, jnp.int32)
+                    rad, nb = eng(
+                        scene,
+                        jnp.asarray(start, jnp.int32),
+                        base,
+                        jnp.asarray(s0, jnp.int32),
+                        chunk,
+                        todo,
+                        config,
+                        pix_count=pc,
+                    )
+                    counts.append(nb)
+                else:
+                    rad = eng(
+                        scene,
+                        jnp.asarray(start, jnp.int32),
+                        base,
+                        jnp.asarray(s0, jnp.int32),
+                        chunk,
+                        todo,
+                        config,
+                    )
                 contrib = rad * float(todo)
                 acc = contrib if acc is None else acc + contrib
-        pending.append((start, n, acc))
+        pending.append((start, n, acc, counts))
     engine = render_chunk_persistent if config.compaction else render_chunk
 
     def recompute_chunk(start):
         """Failure recovery (SURVEY §5): per-pixel counter RNG makes any
         chunk a pure function of (scene, start, seed, spp), so a crashed
         device execution is repaired by recomputing just that chunk —
-        sample-for-sample identical to the uninterrupted render."""
+        sample-for-sample identical to the uninterrupted render (including
+        its bounce-ray counts, which REPLACE the crashed dispatch's)."""
         acc = None
+        counts = []
+        n = min(chunk, npix - start)
         for s0 in range(0, spp, pass_spp):
             todo = min(pass_spp, spp - s0)
-            rad = engine(
-                scene, jnp.asarray(start, jnp.int32), base,
-                jnp.asarray(s0, jnp.int32), chunk, todo, config,
-            )
-            if config.compaction:  # identical recompute; don't double-count
-                rad = rad[0]
+            if config.compaction:
+                rad, nb = engine(
+                    scene, jnp.asarray(start, jnp.int32), base,
+                    jnp.asarray(s0, jnp.int32), chunk, todo, config,
+                    pix_count=None if n == chunk else jnp.asarray(n, jnp.int32),
+                )
+                counts.append(nb)  # identical recompute; don't double-count
+            else:
+                rad = engine(
+                    scene, jnp.asarray(start, jnp.int32), base,
+                    jnp.asarray(s0, jnp.int32), chunk, todo, config,
+                )
             contrib = rad * float(todo)
             acc = contrib if acc is None else acc + contrib
-        return acc
+        return acc, counts
 
-    for start, n, acc in pending:
+    measured_rays = 0
+    have_counts = False
+    for start, n, acc, counts in pending:
         for attempt in range(config.failure_retries + 1):
             try:
                 with phase("device_wait_readback"):
                     host = np.asarray(acc[:n])
+                    # Scalars from the same executions: read them inside the
+                    # retry scope, so a crashed dispatch's poisoned count is
+                    # repaired by the recompute instead of re-raising later
+                    # at the stats line (code-review r3 finding).
+                    chunk_rays = sum(int(np.asarray(c)) for c in counts)
                 break
             except Exception:  # device/runtime crash surfaced at readback
                 if attempt == config.failure_retries:
@@ -822,8 +887,11 @@ def render(
                     f"({attempt + 1}/{config.failure_retries})",
                     file=sys.stderr,
                 )
-                acc = recompute_chunk(start)
+                acc, counts = recompute_chunk(start)
         out[start : start + n] = host / spp
-    if stats is not None and ray_counts:
-        stats["measured_rays"] = int(sum(int(np.asarray(c)) for c in ray_counts))
+        if counts:
+            measured_rays += chunk_rays
+            have_counts = True
+    if stats is not None and have_counts:
+        stats["measured_rays"] = measured_rays
     return out.reshape(h, w, 3)

@@ -1097,7 +1097,7 @@ def closest_hit_chunks(
 
 
 def _kernel_light_pdf_items(
-    wl_ref, rays_ref, wc_ref, k_ref, sum_ref, *, min_dst
+    wl_ref, rays_ref, sum0_ref, wc_ref, k_ref, sum_ref, *, min_dst
 ):
     """Compacted item grid over pierced (tile, cluster) pairs: each step
     accumulates one cluster's all-hits pdf projection terms into its tile's
@@ -1106,7 +1106,9 @@ def _kernel_light_pdf_items(
     ``|x-y|^2 / (|cos| * area)``; here = t^2 |d|^2 k / |q_n| with
     k = 1/(2 area^2) precomputed — see scene/accel.py:light_clusters).
     wl rows = [tile | cluster | live]; tile-major items keep the sum block
-    resident, the first item of a tile zero-inits it, and dead padding
+    resident, the first item of a tile inits it from the PREVIOUS window's
+    running sum (sum0 — zeros on the first window; windows keep each call's
+    SMEM worklist under budget at huge cluster counts), and dead padding
     items are GATED (a sum is not idempotent — retesting double-counts)."""
     s = pl.program_id(0)
     tile = wl_ref[0, s]
@@ -1114,7 +1116,7 @@ def _kernel_light_pdf_items(
 
     @pl.when((s == 0) | (tile != prev))
     def _init():
-        sum_ref[:] = jnp.zeros_like(sum_ref)
+        sum_ref[:] = sum0_ref[:]
 
     rays = rays_ref[:]  # [RT, 8]
     o1 = rays[:, 0:4]
@@ -1203,40 +1205,66 @@ def light_pdf_sum_chunks(
         jax.lax.broadcasted_iota(jnp.int32, (1, wl.shape[1]), 1) < m
     ).astype(jnp.int32)
     wl = jnp.concatenate([wl[:2], live], axis=0)  # [3, T*c]
-    grid = (wl.shape[1],) if interpret else (jnp.maximum(m, 1),)
+    # SMEM budget: the [3, window] worklist is the only prefetched operand
+    # (lane-padded rows, 4 bytes each); one unsplit [3, T*c] row exceeds the
+    # 1 MB SMEM past ~650 clusters at 128 tiles (the exact AOT failure the
+    # geometry path's max_cap fixed — code-review r3 finding).  Windows keep
+    # each call under budget; the kernel chains each tile's running sum
+    # through sum0, so window k starts from window k-1's totals.
+    window = _env_int("TPU_PT_LIGHT_ITEMS", 48_000)
     out_shape = jax.ShapeDtypeStruct((r, 1), jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (ray_tile, 8), lambda s, wl_ref: (wl_ref[0, s], 0),
+    total = jnp.zeros((r, 1), jnp.float32)
+    visited_any = jnp.zeros((t_tiles,), bool)
+    for k0 in range(0, wl.shape[1], window):
+        wl_k = wl[:, k0 : k0 + window]
+        m_k = jnp.clip(m - k0, 0, wl_k.shape[1])
+        grid = (wl_k.shape[1],) if interpret else (jnp.maximum(m_k, 1),)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (ray_tile, 8), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 12, cluster_woop.shape[-1]),
+                    lambda s, wl_ref: (wl_ref[1, s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, cluster_k.shape[-1]),
+                    lambda s, wl_ref: (wl_ref[1, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 12, cluster_woop.shape[-1]),
-                lambda s, wl_ref: (wl_ref[1, s], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, cluster_k.shape[-1]),
-                lambda s, wl_ref: (wl_ref[1, s], 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    total = pl.pallas_call(
-        functools.partial(_kernel_light_pdf_items, min_dst=min_dst),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(wl, rays, cluster_woop, cluster_k)
-    vis = jnp.repeat(counts_full > 0, ray_tile)[:, None]
-    total = jnp.where(vis, total, 0.0)
+        )
+        got = pl.pallas_call(
+            functools.partial(_kernel_light_pdf_items, min_dst=min_dst),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(wl_k, rays, total, cluster_woop, cluster_k)
+        # Tiles this window never visited hold stale buffer contents: keep
+        # the previous running total for them (live items only — a window
+        # whose dispatched step is all padding must also count as unvisited).
+        live_k = wl_k[2] > 0
+        vis_k = (
+            jnp.zeros((t_tiles + 1,), bool)
+            .at[jnp.where(live_k, wl_k[0], t_tiles)]
+            .max(jnp.ones(wl_k.shape[1], bool))[:t_tiles]
+        )
+        total = jnp.where(jnp.repeat(vis_k, ray_tile)[:, None], got, total)
+        visited_any = visited_any | vis_k
+    total = jnp.where(jnp.repeat(visited_any, ray_tile)[:, None], total, 0.0)
     return total[:, 0] / jnp.maximum(light_count, 1).astype(jnp.float32)
 
 
@@ -1372,6 +1400,17 @@ def group_boxes(
     )
 
 
+def _dir_octant(direction: jnp.ndarray) -> jnp.ndarray:
+    """[R, 3] -> [R] int32 direction octant (the shared major/minor term of
+    every sort key; one definition so a future re-binning — e.g. the swept
+    fine-direction bits — cannot silently diverge the policies)."""
+    return (
+        (direction[:, 0] > 0).astype(jnp.int32) * 4
+        + (direction[:, 1] > 0).astype(jnp.int32) * 2
+        + (direction[:, 2] > 0).astype(jnp.int32)
+    )
+
+
 def ray_sort_key_target(
     origin: jnp.ndarray,  # [R, 3]
     direction: jnp.ndarray,  # [R, 3]
@@ -1389,11 +1428,7 @@ def ray_sort_key_target(
     tgt = nearest_box_ids(
         origin, direction, group_min, group_max, min_dst, ray_tile, interpret
     )
-    octant = (
-        (direction[:, 0] > 0).astype(jnp.int32) * 4
-        + (direction[:, 1] > 0).astype(jnp.int32) * 2
-        + (direction[:, 2] > 0).astype(jnp.int32)
-    )
+    octant = _dir_octant(direction)
     bucket = jnp.where(tgt >= 0, tgt, g)
     key = bucket * 8 + octant
     return jnp.where(alive, key, jnp.int32(1 << 28))
@@ -1416,11 +1451,7 @@ def ray_sort_key_hint(
     secondary intersect 150-188 ms vs 37 ms primary at 64k).  Hintless rays
     (fresh primaries — all at the camera) share one bucket past the chunk
     ids; dead rays sort last."""
-    octant = (
-        (direction[:, 0] > 0).astype(jnp.int32) * 4
-        + (direction[:, 1] > 0).astype(jnp.int32) * 2
-        + (direction[:, 2] > 0).astype(jnp.int32)
-    )
+    octant = _dir_octant(direction)
     bucket = jnp.clip(jnp.where(hint >= 0, hint, n_chunks), 0, n_chunks)
     key = octant * (n_chunks + 1) + bucket
     return jnp.where(alive, key, jnp.int32(1 << 28))
@@ -1441,11 +1472,7 @@ def ray_sort_key(
     spatially-ordered chunk layout; dead rays sort last so their tiles skip
     every chunk.  (A 64-direction-bin fine key was swept on chip and lost:
     15.24 s vs 17.32 s end-to-end.)"""
-    octant = (
-        (direction[:, 0] > 0).astype(jnp.int32) * 4
-        + (direction[:, 1] > 0).astype(jnp.int32) * 2
-        + (direction[:, 2] > 0).astype(jnp.int32)
-    )
+    octant = _dir_octant(direction)
     ext = jnp.maximum(scene_hi - scene_lo, 1e-30)
     nc = float(_SORT_CELLS)
     cell = jnp.clip(

@@ -151,17 +151,27 @@ def render_with_checkpoints(
         engine = render_chunk_persistent if config.compaction else render_chunk
         for start in range(0, npix, chunk):
             n = min(chunk, npix - start)
-            rad = engine(
-                scene,
-                jnp.asarray(start, jnp.int32),
-                base,
-                jnp.asarray(state.samples_done, jnp.int32),
-                chunk,
-                todo,
-                config,
-            )
             if config.compaction:  # persistent engine also returns ray count
-                rad = rad[0]
+                rad, _nb = engine(
+                    scene,
+                    jnp.asarray(start, jnp.int32),
+                    base,
+                    jnp.asarray(state.samples_done, jnp.int32),
+                    chunk,
+                    todo,
+                    config,
+                    pix_count=None if n == chunk else jnp.asarray(n, jnp.int32),
+                )
+            else:
+                rad = engine(
+                    scene,
+                    jnp.asarray(start, jnp.int32),
+                    base,
+                    jnp.asarray(state.samples_done, jnp.int32),
+                    chunk,
+                    todo,
+                    config,
+                )
             # render_chunk returns the mean over `todo`; accumulate the sum.
             state.accum[start : start + n] += np.asarray(rad[:n]) * todo
         state.samples_done += todo

@@ -214,6 +214,17 @@ def chunk_aabbs(
     c = aabb_min.shape[0] // leaves_per_chunk
     cmin = aabb_min.reshape(c, leaves_per_chunk, 3).min(axis=1)
     cmax = aabb_max.reshape(c, leaves_per_chunk, 3).max(axis=1)
+    # All-padding chunks come out of the reduction as inverted boxes
+    # (min=+inf, max=-inf).  The Pallas slab test treats an inverted box as
+    # ALWAYS hit with entry distance = min_dst (per-axis min/max swap the
+    # infinities into t_lo=-inf, t_hi=+inf), which would put padding chunks
+    # at the FRONT of every front-to-back worklist, burn near-ladder slots,
+    # and collapse the "target" sort key.  NaN boxes fail every comparison,
+    # which is the never-hit convention the kernels document (and nan-aware
+    # reductions downstream — super_block_bits, group_boxes — expect).
+    empty = cmin[:, 0] > cmax[:, 0]
+    cmin[empty] = np.nan
+    cmax[empty] = np.nan
     return cmin, cmax
 
 
@@ -260,9 +271,11 @@ def light_clusters(lverts: np.ndarray, count: int, cluster: int = 128):
     big = np.inf
     cl_min = np.where(okc[:, :, None, None], v, big).min(axis=(1, 2))
     cl_max = np.where(okc[:, :, None, None], v, -big).max(axis=(1, 2))
+    # NaN = never-hit (an inverted +inf/-inf box always PASSES the Pallas
+    # slab test with minimal entry — see chunk_aabbs).
     empty = ~okc.any(axis=1)
-    cl_min[empty] = big
-    cl_max[empty] = -big
+    cl_min[empty] = np.nan
+    cl_max[empty] = np.nan
     woop = build_woop(lv, ok)  # [4, 3n]; NaN rows on invalid
     cl_woop = build_chunk_woop(woop, cluster)
     e1 = lv[:, 1] - lv[:, 0]
