@@ -661,3 +661,66 @@ def test_empty_light_clusters_are_nan():
     cl_min, cl_max, _, _ = light_clusters(lv, count=40, cluster=128)
     assert np.isnan(cl_min[1]).all() and np.isnan(cl_max[1]).all()
     assert np.isfinite(cl_min[0]).all()
+
+
+@pytest.mark.parametrize("n_tris,r,seed", [(2000, 256, 0), (20_000, 512, 3)])
+def test_bins_mode_matches_dense(n_tris, r, seed):
+    """mode="bins" (per-ray binned worklists — the round-4 lever #1,
+    shipped as an opt-in experiment) is exact vs the dense oracle: the
+    binned pair set is a superset of every hit-producing (ray, chunk)
+    pair, the kernel is the shared _kernel_items, and the scatter-min
+    tie-break (smallest tri id among equal t) matches the dense sweep."""
+    verts, valid = _scene(n_tris, seed=seed)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+
+    rng = np.random.default_rng(seed + 1)
+    o = rng.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    dense = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(woop), EPS)
+    closest_hit_chunks.clear_cache()
+    got = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), EPS, ray_tile=128,
+        interpret=True, mode="bins",
+    )
+    closest_hit_chunks.clear_cache()
+    hd = np.asarray(dense.hit)
+    np.testing.assert_array_equal(np.asarray(got.hit), hd)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hd], np.asarray(dense.t)[hd], rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(got.tri)[hd] == np.asarray(dense.tri)[hd]).mean() > 0.99
+
+
+def test_bins_overflow_falls_back_dense(monkeypatch):
+    """A bins capacity overflow (TPU_PT_BINS_CAP rows exceeded) must fall
+    back to the bit-gated dense grid and stay exact."""
+    monkeypatch.setenv("TPU_PT_BINS_CAP", "1")  # force overflow
+    verts, valid = _scene(2000, seed=4)
+    woop = build_woop(verts, valid)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    cw = build_chunk_woop(woop)
+    rng = np.random.default_rng(5)
+    r = 128
+    o = rng.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dense = closest_hit(jnp.asarray(o), jnp.asarray(d), jnp.asarray(woop), EPS)
+    closest_hit_chunks.clear_cache()
+    got = closest_hit_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
+        jnp.asarray(cmax), jnp.asarray(woop), EPS, ray_tile=128,
+        interpret=True, mode="bins",
+    )
+    closest_hit_chunks.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(dense.hit))
+    hd = np.asarray(dense.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hd], np.asarray(dense.t)[hd], rtol=1e-5, atol=1e-6
+    )

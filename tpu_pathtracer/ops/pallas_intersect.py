@@ -63,6 +63,15 @@ the whole tile even after every ray already held a nearer hit — measured at
 All passes share one kernel that min-accumulates into (t, tri) outputs
 initialized from the previous pass, so retests are idempotent and the
 result is exactly the full union of tested chunks.
+
+TPU_PT_INTERSECT=bins is the opt-in per-ray experiment (round-4 handoff
+lever #1): a transposed activity kernel emits per-RAY per-group bits,
+rays are re-binned group-major (each group gets its own dense ray list —
+the structure a single global sort cannot express), and the shared items
+kernel runs one pass over the binned blocks with scatter-min back per
+ray.  Exact (oracle-tested incl. the capacity-overflow dense fallback);
+unbounded activity + XLA gather/scatter glue traded for per-ray pair
+granularity — on-chip A/B pending.
 """
 
 from __future__ import annotations
@@ -337,6 +346,142 @@ def _bitpack(act: jnp.ndarray) -> jnp.ndarray:
     bits = act.astype(jnp.int32).reshape(t_tiles, -1, 32)
     weights = (1 << jnp.arange(32, dtype=jnp.int32))[None, None, :]
     return jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
+
+
+def _ray_group_kernel(rays_t_ref, aabb_cols_ref, out_ref, *, min_dst, group):
+    """Per-RAY, per-worklist-GROUP slab activity, TRANSPOSED: grid step
+    (b, i) tests ray tile i against chunk column block b and writes
+    out[b's groups, tile i's rays] = 1 iff the ray enters ANY of the
+    group's ``group`` chunk AABBs past min_dst (unbounded — no tbest).
+
+    The transposed orientation (chunks on sublanes, rays on lanes) is
+    chosen twice over: the slab broadcasts become a natural
+    sublane-vector x lane-vector outer product with ZERO in-kernel
+    transposes (rays arrive as a [8, RT] block, AABBs as [cols, 8]), and
+    the [CG, R] output feeds the bins worklist's group-major nonzero
+    directly.  This is the per-ray granularity the sub-tile activity
+    kernel reduces away (it unions 64 rays per row) — the bins mode's
+    whole point (docs/STATUS.md handoff lever #1)."""
+    cols = aabb_cols_ref.shape[0]
+    t_lo = None
+    t_hi = None
+    for a in range(3):
+        o = rays_t_ref[a, :][None, :]  # [1, RT] (lanes = rays)
+        d = rays_t_ref[4 + a, :][None, :]
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)  # same robustness as
+        # _activity_body: on-plane origins give t = 0, not NaN-cull.
+        lo_c = aabb_cols_ref[:, a][:, None]  # [cols, 1] (sublanes = chunks)
+        hi_c = aabb_cols_ref[:, 3 + a][:, None]
+        t1 = (lo_c - o) * inv  # [cols, RT]
+        t2 = (hi_c - o) * inv
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        t_lo = lo if t_lo is None else jnp.maximum(t_lo, lo)
+        t_hi = hi if t_hi is None else jnp.minimum(t_hi, hi)
+    hit = (t_lo <= t_hi) & (t_hi >= min_dst)
+    rt = hit.shape[-1]
+    gb = jnp.any(hit.reshape(cols // group, group, rt), axis=1)
+    out_ref[:] = gb.astype(jnp.int32)
+
+
+def ray_group_bools(
+    rays: jnp.ndarray,  # [R, 8] homogeneous (o,1,d,0) rows
+    chunk_min: jnp.ndarray,  # [C, 3] (NaN rows never match)
+    chunk_max: jnp.ndarray,
+    min_dst: float,
+    ray_tile: int = RAY_TILE,
+    group: int = _GROUP,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [CG, R] int32 0/1 (CG = padded-chunk count / group)
+    r = rays.shape[0]
+    c = chunk_min.shape[0]
+    t_tiles = r // ray_tile
+    cpad = -(-c // _ACT_COLS) * _ACT_COLS
+    pad = cpad - c
+    if pad:
+        chunk_min = jnp.concatenate(
+            [chunk_min, jnp.full((pad, 3), jnp.nan, chunk_min.dtype)]
+        )
+        chunk_max = jnp.concatenate(
+            [chunk_max, jnp.full((pad, 3), jnp.nan, chunk_max.dtype)]
+        )
+    aabb_cols = jnp.concatenate(
+        [chunk_min, chunk_max, jnp.zeros((cpad, 2), chunk_min.dtype)], axis=1
+    )  # [cpad, 8]
+    rays_t = rays.T  # [8, R]
+    gpb = _ACT_COLS // group  # groups per column block
+    out = pl.pallas_call(
+        functools.partial(_ray_group_kernel, min_dst=min_dst, group=group),
+        grid=(cpad // _ACT_COLS, t_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (8, ray_tile), lambda b, i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_ACT_COLS, 8), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (gpb, ray_tile), lambda b, i: (b, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((cpad // group, r), jnp.int32),
+        interpret=interpret,
+    )(rays_t, aabb_cols)
+    return out
+
+
+def _bins_worklist(gb: jnp.ndarray, br: int, p_cap: int):
+    """Per-GROUP ray bins from the [CG, R] per-ray group activity: every
+    (group, ray) pierced pair becomes one row of a group-major binned ray
+    list, each group's segment padded to the ``br``-row kernel block.
+
+    This is the structure a single global ray sort cannot express (the
+    "target" key measured a LOSS because one order can't serve every
+    group, docs/STATUS.md item 9): each group gets its OWN dense ray
+    list, so the pair kernel tests exactly the pierced (ray, group)
+    pairs instead of 64-ray sub-tile unions.
+
+    Returns (r_pad [P_pad] int32 ray id per row (-1 = padding),
+    block_group [NB] int32 worklist-group id per br-row block,
+    n_blocks [] int32 used blocks, overflow [] bool)."""
+    cg, r = gb.shape
+    counts = jnp.sum(gb, axis=1)  # [CG]
+    (fid,) = jnp.nonzero(gb.reshape(-1) > 0, size=p_cap, fill_value=cg * r)
+    valid = fid < cg * r
+    g = jnp.where(valid, fid // r, cg - 1)
+    rid = (fid % r).astype(jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    blocks_pg = -(-counts // br)
+    pad_start = (
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(blocks_pg).astype(jnp.int32)]
+        )
+        * br
+    )
+    n_blocks = (pad_start[cg] // br).astype(jnp.int32)
+    p_pad_cap = p_cap + cg * (br - 1)  # worst padding: every group partial
+    nb_cap = p_pad_cap // br + 1
+    p_pad_cap = nb_cap * br
+    dst = pad_start[g] + (jnp.arange(p_cap, dtype=jnp.int32) - seg_start[g])
+    dst = jnp.where(valid, dst, p_pad_cap)
+    r_pad = (
+        jnp.full((p_pad_cap,), -1, jnp.int32)
+        .at[jnp.clip(dst, 0, p_pad_cap)]
+        .set(rid, mode="drop")
+    )
+    boundaries = jnp.where(counts > 0, pad_start[:cg] // br, nb_cap)
+    bg = (
+        jnp.full((nb_cap,), -1, jnp.int32)
+        .at[boundaries]
+        .max(jnp.arange(cg, dtype=jnp.int32), mode="drop")
+    )
+    bg = jax.lax.cummax(bg, axis=0)
+    overflow = (seg_start[cg] > p_cap) | (pad_start[cg] > p_pad_cap)
+    n_blocks = jnp.minimum(n_blocks, nb_cap)
+    return r_pad, jnp.maximum(bg, 0), n_blocks, overflow
 
 
 def _pack_group_masks(sub: jnp.ndarray, group: int) -> jnp.ndarray:
@@ -743,24 +888,35 @@ def closest_hit_chunks(
         ],
         axis=1,
     )  # [R, 8]
+    # Mode resolution before the prepass: "bins" replaces the tile-level
+    # activity machinery wholesale (per-ray bits + binned worklists).
+    mode = mode or os.environ.get("TPU_PT_INTERSECT", "items")
+    if mode not in ("items", "twopass", "dense", "bins"):
+        # Reject typos loudly: a silent fall-through to the slot grid would
+        # ship the wrong variant's timing in an env-knob A/B campaign.
+        raise ValueError(
+            f"unknown intersect mode {mode!r} (TPU_PT_INTERSECT): "
+            "expected items | twopass | dense | bins"
+        )
     # Super-block gate: past ~4 column blocks (2048 chunks) the prepass
     # stops paying O(tiles x chunks) — steps whose 512-chunk super-AABB no
     # ray enters are skipped from a prefetched coarse bit (VERDICT r2
     # missing #2: the traversal level above chunks).
     cbits = None
-    if -(-cg * group // _ACT_COLS) > _env_int(
-        "TPU_PT_SUPER_MIN", _SUPER_BLOCK_MIN
-    ):
-        cbits = super_block_bits(
-            rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
+    if mode != "bins":
+        if -(-cg * group // _ACT_COLS) > _env_int(
+            "TPU_PT_SUPER_MIN", _SUPER_BLOCK_MIN
+        ):
+            cbits = super_block_bits(
+                rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
+            )
+        # chunk_min was padded to cg*group rows above, so act/ent have
+        # exactly cg*group columns.
+        act, ent, sub, sub_ent0 = tile_chunk_activity(
+            rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
+            coarse_bits=cbits, n_sub=n_sub,
         )
-    # chunk_min was padded to cg*group rows above, so act/ent have exactly
-    # cg*group columns.
-    act, ent, sub, sub_ent0 = tile_chunk_activity(
-        rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
-        coarse_bits=cbits, n_sub=n_sub,
-    )
-    bits = _bitpack(act)
+        bits = _bitpack(act)
     out_shape = [
         jax.ShapeDtypeStruct((r, 1), jnp.float32),
         jax.ShapeDtypeStruct((r, 1), jnp.int32),
@@ -883,22 +1039,128 @@ def closest_hit_chunks(
         vis = jnp.repeat(counts[:, 0] > 0, ray_tile)[:, None]
         return jnp.where(vis, t_k, tmin0), jnp.where(vis, i_k, tidx0)
 
+    def run_bins():
+        """Per-ray binned intersect (the round-4 handoff's lever #1,
+        implemented as an opt-in mode): per-ray per-group slab bits ->
+        group-major binned ray lists -> ONE _kernel_items pass whose
+        "tiles" are the binned ray blocks (identity ids, all-on masks) ->
+        scatter-min per ray.  Pair tests touch exactly the pierced
+        (ray, group) pairs — the per-ray granularity no tile union or
+        global sort can reach — at the price of unbounded (no best-t)
+        activity and XLA gather/scatter glue.  Capacity overflow (pair
+        rows past TPU_PT_BINS_CAP x R) falls back to the bit-gated dense
+        grid, derived conservatively from the same per-ray bits."""
+        gb = ray_group_bools(
+            rays, chunk_min, chunk_max, min_dst, ray_tile, group, interpret
+        )[:cg]
+        p_cap = r * _env_int("TPU_PT_BINS_CAP", 12)
+        r_pad, bgrp, n_blocks, overflow = _bins_worklist(gb, ray_tile, p_cap)
+
+        def bins_branch(_):
+            live = r_pad >= 0
+            rb = rays[jnp.clip(r_pad, 0)]  # [P_pad, 8]
+            # Dead padding rows: park the origin far away (the dead-lane
+            # convention); the real direction keeps the math finite.
+            rb = jnp.concatenate(
+                [jnp.where(live[:, None], rb[:, 0:4], 1e30), rb[:, 4:8]],
+                axis=1,
+            )
+            nb_cap = r_pad.shape[0] // ray_tile
+            wl = jnp.stack(
+                [
+                    jnp.arange(nb_cap, dtype=jnp.int32),
+                    bgrp,
+                    jnp.full((nb_cap,), -1, jnp.int32),
+                    jnp.full((nb_cap,), -1, jnp.int32),
+                ]
+            )  # [4, NB]: block id | worklist group | all-on mask words
+            grid = (
+                (nb_cap,) if interpret else (jnp.maximum(n_blocks, 1),)
+            )
+            p_pad = r_pad.shape[0]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (ray_tile, 8), lambda s, wl_ref: (wl_ref[0, s], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    wc_spec(lambda s, wl_ref: (wl_ref[1, s], 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (ray_tile, 1), lambda s, wl_ref: (wl_ref[0, s], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+            )
+            t_rows, i_rows = pl.pallas_call(
+                functools.partial(
+                    _kernel_items, min_dst=min_dst, group=group, n_sub=1
+                ),
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((p_pad, 1), jnp.int32),
+                ],
+                interpret=interpret,
+            )(wl, rb, jnp.full((p_pad, 1), jnp.inf, jnp.float32),
+              jnp.zeros((p_pad, 1), jnp.int32), chunk_woop)
+            # Scatter-min per ray; tri tie-break = smallest id among
+            # exactly-equal t (the dense sweep's order, since woop order
+            # is tri-id order).
+            rid = jnp.where(live, r_pad, r)
+            t_flat = jnp.where(live, t_rows[:, 0], jnp.inf)
+            tb = (
+                jnp.full((r + 1,), jnp.inf, jnp.float32)
+                .at[rid]
+                .min(t_flat, mode="drop")
+            )
+            won = live & jnp.isfinite(t_flat) & (t_flat == tb[rid])
+            trib = (
+                jnp.full((r + 1,), jnp.int32(1 << 30))
+                .at[jnp.where(won, rid, r)]
+                .min(i_rows[:, 0], mode="drop")
+            )
+            tri_col = jnp.where(
+                jnp.isfinite(tb[:r]), trib[:r], 0
+            ).astype(jnp.int32)
+            return tb[:r, None], tri_col[:, None]
+
+        def dense_branch(_):
+            act_t = jnp.any(
+                (gb > 0).reshape(cg, t_tiles, ray_tile), axis=2
+            ).T  # [T, CG]
+            bits_b = _bitpack(
+                jnp.repeat(act_t, group, axis=1).astype(jnp.int32)
+            )
+            return run_dense(bits_b, tmin_inf, tidx_zero)
+
+        return jax.lax.cond(overflow, dense_branch, bins_branch, None)
+
     # Default "items": the cascade with compacted work-item pass grids —
     # measured 53.3 ms/iter vs the slot grid's 59.2 on 64k atrium
     # secondaries (probe_items; equal checksums), on top of the ladder
     # retune's 70.7 -> 59.2.  "twopass" keeps the slot grid; "dense" is the
-    # A/B oracle.
-    mode = mode or os.environ.get("TPU_PT_INTERSECT", "items")
-    if mode not in ("items", "twopass", "dense"):
-        # Reject typos loudly: a silent fall-through to the slot grid would
-        # ship the wrong variant's timing in an env-knob A/B campaign.
-        raise ValueError(
-            f"unknown intersect mode {mode!r} (TPU_PT_INTERSECT): "
-            "expected items | twopass | dense"
-        )
+    # A/B oracle; "bins" is the per-ray binned experiment.
     if mode == "items":
         run_pass = run_pass_items
-    if mode == "dense":
+    if mode == "bins":
+        t_best, tri = run_bins()
+    elif mode == "dense":
         t_best, tri = run_dense(bits, tmin_inf, tidx_zero)
     else:
         ga, ge = _group_stats(act, ent, group)
