@@ -405,9 +405,12 @@ def ray_group_bools(
         chunk_max = jnp.concatenate(
             [chunk_max, jnp.full((pad, 3), jnp.nan, chunk_max.dtype)]
         )
+    # Lane-padded to 128 (block lane dims must be 128-multiples on real
+    # Mosaic; the 120 dead lanes cost ~1 MB of HBM, nothing in VMEM terms).
     aabb_cols = jnp.concatenate(
-        [chunk_min, chunk_max, jnp.zeros((cpad, 2), chunk_min.dtype)], axis=1
-    )  # [cpad, 8]
+        [chunk_min, chunk_max, jnp.zeros((cpad, 122), chunk_min.dtype)],
+        axis=1,
+    )  # [cpad, 128]; cols 0-2 = min, 3-5 = max
     rays_t = rays.T  # [8, R]
     gpb = _ACT_COLS // group  # groups per column block
     out = pl.pallas_call(
@@ -418,7 +421,7 @@ def ray_group_bools(
                 (8, ray_tile), lambda b, i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_ACT_COLS, 8), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+                (_ACT_COLS, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
