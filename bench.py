@@ -70,10 +70,16 @@ def main() -> int:
     # int32-safe at convergence-scale BENCH_SPP (the engine rejects pools
     # with n_rays*spp*depth >= 2^31); 256 never binds at the default 16.
     rpb = int(os.environ.get("BENCH_RPB", 1 << 16))
+    # Frame pool (see config.py): pools the whole frame per persistent call
+    # so the drain tail is paid once per spp pass, not once per 64k-pixel
+    # chunk.  spp_per_pass must also bound the POOL-sized int32 counter.
+    frame_pool = os.environ.get("BENCH_FRAME_POOL", "0") == "1"
+    pool_px = WIDTH * HEIGHT if frame_pool else rpb
     config = RenderConfig(
         rays_per_batch=rpb,
-        spp_per_pass=max(1, min(SPP, (2**31 - 1) // (rpb * 16), 256)),
+        spp_per_pass=max(1, min(SPP, (2**31 - 1) // (pool_px * 16), 256)),
         sort_key=os.environ.get("BENCH_SORT", "hint"),
+        frame_pool=frame_pool,
     )
     tmp = tempfile.mkdtemp(prefix="bench_scene_")
     if scene_kind == "field":

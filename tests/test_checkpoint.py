@@ -31,6 +31,21 @@ def test_checkpointed_matches_plain(tmp_path):
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
 
 
+def test_checkpointed_frame_pool_matches_plain(tmp_path):
+    """frame_pool pools the whole frame per call inside the checkpoint loop
+    too; paths are identical, only fp summation order moves."""
+    from tpu_pathtracer.config import RenderConfig
+
+    scene = _scene(tmp_path, w=48, h=16)  # 768 px > one 512-lane chunk
+    cfg = RenderConfig(rays_per_batch=512, frame_pool=True)
+    want = render(scene, spp=6, seed=5, config=RenderConfig(rays_per_batch=512))
+    got = render_with_checkpoints(
+        scene, spp=6, seed=5, config=cfg,
+        checkpoint_path=str(tmp_path / "ckfp.npz"), checkpoint_every=2,
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
 def test_resume_after_interruption(tmp_path):
     scene = _scene(tmp_path)
     ck = str(tmp_path / "ck.npz")

@@ -60,6 +60,23 @@ def test_persistent_engine_matches_scan(tmp_path):
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
 
 
+def test_frame_pool_matches_chunked(tmp_path):
+    """config.frame_pool pools the whole frame's work into each persistent
+    call (accumulator sized to the frame, lanes unchanged).  Same (pixel,
+    sample, depth) RNG streams -> identical paths; only the per-pixel fp
+    summation order moves, and the measured rays-traced count is EXACTLY the
+    chunked engine's because the set of traced paths is identical."""
+    scene = _load(make_cornell_gltf, tmp_path, 32, 32)  # 1024 px, 2 chunks
+    stats_a, stats_b = {}, {}
+    a = render(scene, spp=3, seed=5,
+               config=RenderConfig(rays_per_batch=512), stats=stats_a)
+    b = render(scene, spp=3, seed=5,
+               config=RenderConfig(rays_per_batch=512, frame_pool=True),
+               stats=stats_b)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+    assert stats_a["measured_rays"] == stats_b["measured_rays"]
+
+
 def test_measured_rays_stats(tmp_path):
     """render(stats=...) reports the TRUE rays traced by the persistent
     engine: at least one ray per (useful pixel, sample) work item, at most

@@ -85,6 +85,17 @@ class RenderConfig:
     # free (per-pixel counter RNG).
     sort_key: str = "hint"
 
+    # Frame pool (compaction engine, single-host render() path only): each
+    # persistent call's work pool covers the WHOLE frame — the accumulator
+    # sizes to the frame while lanes stay rays_per_batch wide — so the
+    # pool-drain tail (lanes dying over the last ~ray_depth iterations once
+    # the pool empties) is paid once per spp pass instead of once per
+    # lane-sized pixel chunk.  Estimator-identical (same (pixel, sample,
+    # depth) counter-RNG streams; only per-pixel fp summation order moves).
+    # Device executions get longer by the frame/chunk ratio: bound them with
+    # spp_per_pass.
+    frame_pool: bool = False
+
     # Wavefront engine: True = persistent wavefront with path regeneration
     # (true stream compaction: dead lanes refill with fresh samples each
     # iteration, ~100% lane occupancy); False = fixed scan over ray_depth

@@ -502,7 +502,7 @@ def sanitize_nans(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(color), 0.0, color)
 
 
-@partial(jax.jit, static_argnames=("n_rays", "spp", "config"))
+@partial(jax.jit, static_argnames=("n_rays", "spp", "config", "accum_rows"))
 def render_chunk_persistent(
     scene: TriangleScene,
     chunk_start: jnp.ndarray,  # [] int32 first linear pixel id
@@ -513,7 +513,8 @@ def render_chunk_persistent(
     config: RenderConfig,
     pix_count: jnp.ndarray | None = None,  # [] int32 useful pixels (see
     #   persistent_accum) — rows [pix_count, n_rays) of the result are 0
-) -> Tuple[jnp.ndarray, jnp.ndarray]:  # ([n_rays, 3] mean radiance, [] rays)
+    accum_rows: int | None = None,  # static pool pixels > n_rays (frame pool)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:  # ([rows, 3] mean radiance, [] rays)
     """Persistent-wavefront engine with TRUE stream compaction.
 
     The scan engine (``render_chunk``) keeps dispatch width R for all
@@ -537,14 +538,15 @@ def render_chunk_persistent(
     path, BASELINE.md; this removes the convention).
     """
     # int32 safety: work ids and the bounce counter are int32 on device.
-    # A pool of n_rays*spp work items can produce up to ~pool*ray_depth
+    # A pool of pool_pixels*spp work items can produce up to ~pool*ray_depth
     # bounces per call; reject configurations that could wrap instead of
     # silently publishing a negative measured-ray count (code-review r3
     # finding: BENCH_SPP=8192 at 64k lanes wraps).  Callers split spp into
     # spp_per_pass pools, so the fix is a smaller spp_per_pass.
-    if n_rays * spp * max(1, int(scene.ray_depth)) >= 2**31:
+    pool_sz = accum_rows if accum_rows is not None else n_rays
+    if pool_sz * spp * max(1, int(scene.ray_depth)) >= 2**31:
         raise ValueError(
-            f"persistent pool too large for int32 counters: n_rays={n_rays} "
+            f"persistent pool too large for int32 counters: pool={pool_sz} "
             f"* spp={spp} * ray_depth={int(scene.ray_depth)} >= 2^31 — "
             "lower spp_per_pass (or rays_per_batch)"
         )
@@ -554,7 +556,7 @@ def render_chunk_persistent(
     )
     acc, n_bounce = persistent_accum(
         scene, chunk_start, key, sample_start, n_rays,
-        pool_pix * spp, config, pix_count=pix_count,
+        pool_pix * spp, config, pix_count=pix_count, accum_rows=accum_rows,
     )
     return acc / spp, n_bounce
 
@@ -570,8 +572,14 @@ def persistent_accum(
     config: RenderConfig,
     pix_count: jnp.ndarray | None = None,  # [] int32 traced: pixels this
     #   chunk actually covers (< n_rays when the chunk is the padded image
-    #   tail).  None = every lane slot is a real pixel (n_rays-dense pool).
-):  # ([n_rays, 3] radiance SUM over the pool's samples, [] int32 rays traced)
+    #   tail, > n_rays under the frame pool).  None = every lane slot is a
+    #   real pixel (n_rays-dense pool).
+    accum_rows: int | None = None,  # static accumulator row count when the
+    #   pool covers MORE pixels than lanes (config.frame_pool): the
+    #   accumulator sizes to the pixel pool, lanes stay n_rays wide, and the
+    #   drain tail is paid once per call instead of once per lane-sized
+    #   chunk.  None = n_rays rows (chunked behavior, shard_map-safe).
+):  # ([rows, 3] radiance SUM over the pool's samples, [] int32 rays traced)
     """Core persistent-wavefront loop (see render_chunk_persistent).
 
     Work item w covers (pixel slot w % P, local sample w // P) where
@@ -619,7 +627,11 @@ def persistent_accum(
         depth=lane0 * 0,
         hint=lane0 * 0 - 1,  # spawn-surface chunk id (fresh lanes: none)
         next_work=jnp.minimum(jnp.asarray(n_rays, jnp.int32), w_total),
-        accum=o0 * 0.0,
+        # Frame pool: a plain zeros init is fine — accum_rows is only used
+        # on the single-host path, never under shard_map (whose carry inits
+        # must derive from spawned rays for varying-axis typing).
+        accum=(o0 * 0.0 if accum_rows is None
+               else jnp.zeros((accum_rows, 3), o0.dtype)),
         # Measured rays traced: live lanes entering each bounce.  int32 is
         # safe per call (<= n_rays * spp_per_pass * ray_depth << 2^31); the
         # host loop accumulates across calls in Python ints.
@@ -668,9 +680,9 @@ def persistent_accum(
         # Scatter finished samples into the accumulator (per-sample NaN
         # sanitize exactly as render_pixel does, src/raytracer.h:607-616).
         contrib = jnp.where(done[:, None], sanitize_nans(radiance), 0.0)
-        accum = accum.at[jnp.where(done, slot, n_rays)].add(
-            contrib, mode="drop"
-        )
+        accum = accum.at[
+            jnp.where(done, slot, accum_rows or n_rays)
+        ].add(contrib, mode="drop")
 
         # Regenerate: freed lanes pull the next work items.
         free = done | ~active
@@ -786,14 +798,33 @@ def render(
     # executions keep peak memory flat and stay under any runtime watchdog,
     # and per-pixel RNG keys make the tiling observationally irrelevant.
     pass_spp = max(1, min(config.spp_per_pass, spp))
+    # Frame pool: one persistent call's work pool covers the WHOLE frame
+    # (accumulator sized to the frame, lanes stay ``chunk`` wide), so the
+    # engine's drain tail — lanes dying over the last ~ray_depth iterations
+    # once the pool empties — is paid once per spp pass instead of once per
+    # lane-sized pixel chunk.  Off under the scan engine, and pointless when
+    # the frame fits one chunk anyway.
+    frame_pool = config.frame_pool and config.compaction and npix > chunk
+    pix_step = npix if frame_pool else chunk
+
+    def pool_args(n):
+        """(pix_count, accum_rows) for a chunk covering n useful pixels."""
+        if frame_pool:
+            return jnp.asarray(n, jnp.int32), n
+        # pix_count only for the padded tail chunk: full chunks keep the
+        # static power-of-2 slot modulus (and the already-compiled program).
+        return (None if n == chunk else jnp.asarray(n, jnp.int32)), None
+
     # Dispatch every (chunk, pass) tile asynchronously and accumulate on
     # device; a single readback per chunk at the end.  Keeps the device busy
     # instead of paying a host round-trip per dispatch.
-    n_tiles = ((npix + chunk - 1) // chunk) * ((spp + pass_spp - 1) // pass_spp)
+    n_tiles = ((npix + pix_step - 1) // pix_step) * (
+        (spp + pass_spp - 1) // pass_spp
+    )
     done_tiles = 0
     pending = []
-    for start in range(0, npix, chunk):
-        n = min(chunk, npix - start)
+    for start in range(0, npix, pix_step):
+        n = min(pix_step, npix - start)
         acc = None
         counts = []  # this chunk's measured bounce-ray counts (device scalars)
         for s0 in range(0, spp, pass_spp):
@@ -807,10 +838,7 @@ def render(
             eng = render_chunk_persistent if config.compaction else render_chunk
             with phase("dispatch"):  # trace+compile on first call, then enqueue
                 if config.compaction:
-                    # pix_count only for the padded tail chunk: full chunks
-                    # keep the static power-of-2 slot modulus (and the
-                    # already-compiled program).
-                    pc = None if n == chunk else jnp.asarray(n, jnp.int32)
+                    pc, ar = pool_args(n)
                     rad, nb = eng(
                         scene,
                         jnp.asarray(start, jnp.int32),
@@ -820,6 +848,7 @@ def render(
                         todo,
                         config,
                         pix_count=pc,
+                        accum_rows=ar,
                     )
                     counts.append(nb)
                 else:
@@ -845,14 +874,15 @@ def render(
         its bounce-ray counts, which REPLACE the crashed dispatch's)."""
         acc = None
         counts = []
-        n = min(chunk, npix - start)
+        n = min(pix_step, npix - start)
         for s0 in range(0, spp, pass_spp):
             todo = min(pass_spp, spp - s0)
             if config.compaction:
+                pc, ar = pool_args(n)
                 rad, nb = engine(
                     scene, jnp.asarray(start, jnp.int32), base,
                     jnp.asarray(s0, jnp.int32), chunk, todo, config,
-                    pix_count=None if n == chunk else jnp.asarray(n, jnp.int32),
+                    pix_count=pc, accum_rows=ar,
                 )
                 counts.append(nb)  # identical recompute; don't double-count
             else:

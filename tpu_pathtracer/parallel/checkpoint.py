@@ -143,15 +143,27 @@ def render_with_checkpoints(
     base = jax.random.key(seed)
     chunk = pick_chunk(config, npix)
     pass_spp = checkpoint_every or config.spp_per_pass
+    # Frame pool (config.frame_pool): pool the whole frame per persistent
+    # call so the drain tail is paid once per pass, not once per chunk.
+    # Device executions get longer by npix/chunk — bound them with
+    # checkpoint_every / spp_per_pass.
+    frame_pool = config.frame_pool and config.compaction and npix > chunk
+    pix_step = npix if frame_pool else chunk
 
     while state.samples_done < spp:
         todo = min(pass_spp, spp - state.samples_done)
         from ..models.pathtracer import render_chunk_persistent
 
         engine = render_chunk_persistent if config.compaction else render_chunk
-        for start in range(0, npix, chunk):
-            n = min(chunk, npix - start)
+        for start in range(0, npix, pix_step):
+            n = min(pix_step, npix - start)
             if config.compaction:  # persistent engine also returns ray count
+                if frame_pool:
+                    pc, ar = jnp.asarray(n, jnp.int32), n
+                else:
+                    pc, ar = (
+                        None if n == chunk else jnp.asarray(n, jnp.int32)
+                    ), None
                 rad, _nb = engine(
                     scene,
                     jnp.asarray(start, jnp.int32),
@@ -160,7 +172,8 @@ def render_with_checkpoints(
                     chunk,
                     todo,
                     config,
-                    pix_count=None if n == chunk else jnp.asarray(n, jnp.int32),
+                    pix_count=pc,
+                    accum_rows=ar,
                 )
             else:
                 rad = engine(
