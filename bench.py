@@ -77,7 +77,6 @@ def main() -> int:
     pool_px = WIDTH * HEIGHT if frame_pool else rpb
     config = RenderConfig(
         rays_per_batch=rpb,
-        spp_per_pass=max(1, min(SPP, (2**31 - 1) // (pool_px * 16), 256)),
         sort_key=os.environ.get("BENCH_SORT", "hint"),
         frame_pool=frame_pool,
     )
@@ -92,6 +91,20 @@ def main() -> int:
         path = make_atrium_gltf(os.path.join(tmp, "atrium.gltf"), detail=2)
         label = "enclosed-atrium"
     scene = parse_gltf_scene(path, WIDTH / HEIGHT, config)
+    # Bound spp_per_pass by the SCENE's ray depth (the engine's int32 pool
+    # guard uses scene.ray_depth; a literal depth factor was 2x conservative
+    # on the depth-8 atrium and would raise on depth > 16 scenes — ADVICE r3).
+    config = dataclasses.replace(
+        config,
+        spp_per_pass=max(
+            1,
+            min(
+                SPP,
+                (2**31 - 1) // (pool_px * max(1, int(scene.ray_depth))),
+                256,
+            ),
+        ),
+    )
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(WIDTH, HEIGHT))
     n_tris = int(scene.valid.sum())
     print(

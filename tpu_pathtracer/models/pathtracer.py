@@ -512,7 +512,8 @@ def render_chunk_persistent(
     spp: int,
     config: RenderConfig,
     pix_count: jnp.ndarray | None = None,  # [] int32 useful pixels (see
-    #   persistent_accum) — rows [pix_count, n_rays) of the result are 0
+    #   persistent_accum) — rows past the useful pixels, i.e.
+    #   [pix_count, accum_rows or n_rays), are 0
     accum_rows: int | None = None,  # static pool pixels > n_rays (frame pool)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:  # ([rows, 3] mean radiance, [] rays)
     """Persistent-wavefront engine with TRUE stream compaction.
@@ -680,8 +681,9 @@ def persistent_accum(
         # Scatter finished samples into the accumulator (per-sample NaN
         # sanitize exactly as render_pixel does, src/raytracer.h:607-616).
         contrib = jnp.where(done[:, None], sanitize_nans(radiance), 0.0)
+        drop_row = n_rays if accum_rows is None else accum_rows
         accum = accum.at[
-            jnp.where(done, slot, accum_rows or n_rays)
+            jnp.where(done, slot, drop_row)
         ].add(contrib, mode="drop")
 
         # Regenerate: freed lanes pull the next work items.

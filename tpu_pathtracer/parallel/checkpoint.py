@@ -25,15 +25,37 @@ from ..models.pathtracer import render_chunk
 from ..scene.types import TriangleScene
 
 
+# Config fields that change HOW the render executes but not WHAT estimator
+# it computes (sample-for-sample identical output up to fp summation order).
+# Excluded from the fingerprint so tuning them between sessions cannot
+# silently discard a resumable accumulator (ADVICE r3).
+_EXECUTION_KNOBS = (
+    "rays_per_batch",
+    "spp_per_pass",
+    "failure_retries",
+    "sort_key",
+    "frame_pool",
+    "compaction",
+)
+
+
 def scene_fingerprint(scene: TriangleScene, config: RenderConfig) -> int:
-    """Cheap stable hash of the scene arrays + render config.
+    """Cheap stable hash of the scene arrays + the ESTIMATOR-relevant config.
 
     Guards resume against blending a checkpoint from a *different* scene or
     estimator config into the new accumulator (same-resolution/seed
-    checkpoints are otherwise indistinguishable)."""
+    checkpoints are otherwise indistinguishable).  Execution-only knobs
+    (_EXECUTION_KNOBS) are normalized out: they move fp summation order at
+    most, and including them made every tuning change silently restart
+    pre-existing checkpoints from sample 0."""
     import zlib
 
-    crc = zlib.crc32(repr(config).encode())
+    defaults = RenderConfig()
+    normalized = dataclasses.replace(
+        config,
+        **{k: getattr(defaults, k) for k in _EXECUTION_KNOBS},
+    )
+    crc = zlib.crc32(repr(normalized).encode())
     for leaf in jax.tree.leaves(scene):
         arr = np.asarray(leaf)
         crc = zlib.crc32(arr.tobytes(), crc)
@@ -128,6 +150,17 @@ def render_with_checkpoints(
             cand.fingerprint in (0, fp)  # 0: legacy checkpoint, accept
         ):
             state = cand
+        else:
+            # A rejected checkpoint restarts from sample 0 — say so instead
+            # of silently discarding the old accumulator (ADVICE r3).
+            import sys
+
+            print(
+                f"checkpoint {checkpoint_path}: scene/config fingerprint or "
+                "dims/seed mismatch — ignoring it and restarting from "
+                "sample 0",
+                file=sys.stderr,
+            )
     if state is None:
         state = RenderState(
             accum=np.zeros((npix, 3), dtype=np.float32),
