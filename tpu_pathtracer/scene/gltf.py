@@ -124,7 +124,7 @@ class _AtlasBuilder:
         self.images.append(np.asarray(img, dtype=np.float32))
         return len(self.images) - 1
 
-    def build(self) -> T.TextureAtlas:
+    def build(self, quad_max: int = 0) -> T.TextureAtlas:
         offsets, widths, heights, chunks = [], [], [], []
         off = 0
         for img in self.images:
@@ -139,7 +139,7 @@ class _AtlasBuilder:
             offset=jnp.asarray(offsets, dtype=jnp.int32),
             width=jnp.asarray(widths, dtype=jnp.int32),
             height=jnp.asarray(heights, dtype=jnp.int32),
-            quad=T.quad_pool(self.images),
+            quad=T.quad_pool(self.images, quad_max),
         )
 
 
@@ -516,10 +516,11 @@ def _pack_triangle_scene(
     # locality win for shade-stage gathers).  Default "sah": chunk-aligned
     # sweep-SAH treelets (tighter chunk AABBs -> fewer cascade activations
     # than the flat Morton cut); "morton" keeps the round-2 LBVH curve.
-    from ..ops.pallas_intersect import CHUNK_TRIS as _DEFAULT_CHUNK_TRIS
-
-    chunk_tris = int(os.environ.get("TPU_PT_CHUNK_TRIS", _DEFAULT_CHUNK_TRIS))
-    if os.environ.get("TPU_PT_BUILD", "sah") == "sah":
+    # Build knobs come from config.tuning (TPU_PT_CHUNK_TRIS/TPU_PT_BUILD
+    # env vars override as the probe shim).
+    tuning = config.tuning.resolve()
+    chunk_tris = tuning.chunk_tris
+    if tuning.build == "sah":
         perm = sah_chunk_order(verts, valid, chunk_tris)
     else:
         perm = morton_order(verts, valid)
@@ -612,7 +613,7 @@ def _pack_triangle_scene(
         emissive_tex=jnp.asarray(mats[:, 11].astype(np.int32)),
         mr_tex=jnp.asarray(mats[:, 12].astype(np.int32)),
         normal_tex=jnp.asarray(mats[:, 13].astype(np.int32)),
-        atlas=atlas.build(),
+        atlas=atlas.build(quad_max=tuning.quad_max),
         lights=lights,
         bg_color=jnp.asarray(bg),
         env_tex=jnp.asarray(env_tex, dtype=jnp.int32),

@@ -125,16 +125,15 @@ class TextureAtlas:
         )
 
 
-def quad_pool(images) -> Optional[jnp.ndarray]:
+def quad_pool(images, quad_max: int = 0) -> Optional[jnp.ndarray]:
     """Corner-quad pool for a list of [h, w, 4] images (see
     ``TextureAtlas.quad``).  Corner order matches ``ops/texture.sample_many``
     (c00, c01, c10, c11 — py1/px1 increments wrap, mod_inc).  Opt-in via
-    TPU_PT_QUAD_MAX (max texels, 64 B/texel; 0 = off, the measured default
-    — see the field comment above)."""
+    ``quad_max`` = config.tuning.quad_max (max texels, 64 B/texel; 0 = off,
+    the measured default — see the field comment above; TPU_PT_QUAD_MAX env
+    overrides through IntersectTuning.resolve())."""
     total = sum(img.shape[0] * img.shape[1] for img in images)
-    import os
-
-    if total > int(os.environ.get("TPU_PT_QUAD_MAX", "0")):
+    if total > quad_max:
         return None
     rows = []
     for img in images:
