@@ -44,6 +44,12 @@ def main() -> int:
         # renders without the prepass dominating"); host build ~77 s.
         "field2m": lambda d: make_sphere_field_gltf(
             d + "/f.gltf", 400, 4, textured=True),
+        # Round-4 (VERDICT r3 next #6): the next order of magnitude past 2M.
+        # subdiv 5 = 20480 tris/sphere; 400 spheres -> 8.19M, 800 -> 16.4M.
+        "field8m": lambda d: make_sphere_field_gltf(
+            d + "/f.gltf", 400, 5, textured=True),
+        "field16m": lambda d: make_sphere_field_gltf(
+            d + "/f.gltf", 800, 5, textured=True),
         "atrium2": lambda d: make_atrium_gltf(d + "/a.gltf", detail=2),
         "atrium3": lambda d: make_atrium_gltf(d + "/a.gltf", detail=3),
     }
