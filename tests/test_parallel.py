@@ -102,6 +102,56 @@ def test_sharded_large_scene_sort_path(big_scene):
     assert stats_sharded["measured_rays"] == stats_single["measured_rays"]
 
 
+def test_pallas_intersector_traces_under_shard_map(big_scene):
+    """Regression: the Pallas cascade must TRACE inside jax.shard_map.
+
+    The first real-chip render_pass_sharded run (round 4) failed at TRACE
+    time: under check_vma=True every pl.pallas_call out_shape must declare
+    its varying-manual-axes, and none did (pallas_intersect._vma_of).  The
+    CPU-mesh render tests cannot catch this because off-TPU backends take
+    the gather-traversal path — so this test traces the Pallas kernel
+    (compiled form, interpret=False: abstract eval only needs shapes)
+    inside a shard_map over both mesh axes with varying rays and a
+    replicated scene, exactly like render_pass_sharded composes them.
+    eval_shape reproduces the chip failure mode; on-silicon numerics are
+    pinned by scripts/sharded_chip_artifact.py (out/sharded_chip_r4.json).
+    Note interpret=True would NOT work here even with the fix: the HLO
+    interpreter inlines kernel ops into the vma-typed outer program, where
+    mixed replicated/varying kernel operands trip primitive vma checks —
+    an interpreter limitation the Mosaic path (closed kernel jaxpr) does
+    not share."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_pathtracer.models.pathtracer import gen_rays
+    from tpu_pathtracer.ops.pallas_intersect import closest_hit_chunks
+
+    s = big_scene
+    mesh = make_mesh(rays=4, spp=2)
+    n_local = 512
+    offs = (jnp.full((n_local,), 0.5), jnp.full((n_local,), 0.5))
+
+    def body(scene_rep):
+        ray_idx = jax.lax.axis_index("rays")
+        pix = ray_idx * n_local + jnp.arange(n_local)
+        o, d = gen_rays(scene_rep.camera, pix, offs)
+        hit = closest_hit_chunks(
+            o, d, scene_rep.chunk_woop, scene_rep.chunk_aabb_min,
+            scene_rep.chunk_aabb_max, scene_rep.woop, 1e-4,
+        )
+        # Outputs vary over 'rays' only (spp ranks duplicate the work).
+        return hit.t, hit.tri
+
+    scene_specs = jax.tree.map(lambda _: P(), s)
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(scene_specs,),
+        out_specs=(P("rays"), P("rays")),
+    )
+    t_s, tri_s = jax.eval_shape(fn, s)
+    assert t_s.shape == (4 * n_local,)
+    assert tri_s.shape == (4 * n_local,)
+
+
 def test_multihost_checkpoint_resume(scene, tmp_path):
     """A killed-and-resumed multihost render matches the uninterrupted one
     BIT-exactly (VERDICT r3 next #5): pass sums accumulate in the same fp

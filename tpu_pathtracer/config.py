@@ -171,8 +171,10 @@ class RenderConfig:
     # round-2 key, kept for A/B probes); "target": the worklist group each
     # ray will FIRST ENTER (Pallas argmin of slab entry over group AABBs) x
     # octant — geometry-aware, tracks where the ray is GOING rather than
-    # where it spawned.  Purely a perf knob: sorting is observationally
-    # free (per-pixel counter RNG).
+    # where it spawned; "dirhint": fine-direction bins MAJOR over the spawn
+    # chunk (round-4: the best implementable order in probe_sortkey_proxy,
+    # -20% union activations vs "hint" on atrium secondaries).  Purely a
+    # perf knob: sorting is observationally free (per-pixel counter RNG).
     sort_key: str = "hint"
 
     # Frame pool (compaction engine, single-host render() path only): each

@@ -377,17 +377,18 @@ def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
         RAY_TILE,
         group_boxes,
         ray_sort_key,
+        ray_sort_key_dirhint,
         ray_sort_key_hint,
         ray_sort_key_target,
     )
 
-    if config.sort_key not in ("hint", "cell", "target"):
+    if config.sort_key not in ("hint", "dirhint", "cell", "target"):
         # Reject typos loudly (same contract as TPU_PT_INTERSECT): a silent
         # fall-through to the "cell" key would ship the wrong variant's
         # timing in a BENCH_SORT A/B campaign.
         raise ValueError(
-            f"unknown sort_key {config.sort_key!r}: expected hint | cell | "
-            "target"
+            f"unknown sort_key {config.sort_key!r}: expected hint | dirhint"
+            " | cell | target"
         )
     if config.sort_key == "target":
         g_lo, g_hi = group_boxes(scene.chunk_aabb_min, scene.chunk_aabb_max)
@@ -417,6 +418,8 @@ def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
     def key_fn(o, d, alive, hint):
         if config.sort_key == "hint":
             return ray_sort_key_hint(d, alive, hint, n_chunks)
+        if config.sort_key == "dirhint":
+            return ray_sort_key_dirhint(d, alive, hint, n_chunks)
         return ray_sort_key(o, d, alive, scene_lo, scene_hi)
 
     return key_fn
