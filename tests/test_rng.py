@@ -98,3 +98,95 @@ def test_lane_uniforms_streams_distinct():
     assert not np.array_equal(a, j)
     # Cross-stream correlation is noise-level.
     assert abs(np.corrcoef(a.ravel(), b.ravel())[0, 1]) < 0.05
+
+
+def test_sobol_owen_net_property():
+    """Owen-scrambled Sobol keeps the (0,2)-net property per pixel: for
+    n = 2^m points, EVERY dyadic elementary interval of area 1/n contains
+    exactly one point — across pixels (independent scrambles) and seeds.
+    This pins both the direction numbers and the scramble's nestedness
+    (a non-nested hash would break the intervals)."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.ops.rng import sobol_owen_2d
+
+    for seed in (0, 7):
+        key = jax.random.key(seed)
+        pix = jnp.asarray([0, 1, 9999], jnp.int32)
+        n = 64
+        pts = np.stack(
+            [np.asarray(sobol_owen_2d(key, s, pix)) for s in range(n)]
+        )  # [n, 2, P]
+        for p in range(pts.shape[-1]):
+            u, v = pts[:, 0, p], pts[:, 1, p]
+            assert ((u >= 0) & (u < 1) & (v >= 0) & (v < 1)).all()
+            for a in range(7):
+                b = 6 - a
+                cells = (u * (1 << a)).astype(int) * (1 << b) + (
+                    v * (1 << b)
+                ).astype(int)
+                counts = np.bincount(cells, minlength=n)
+                assert (counts == 1).all(), (seed, p, a, b, counts)
+
+
+def test_sobol_owen_decorrelated_across_pixels():
+    """Different pixels draw from independently scrambled sequences: point
+    0 differs across pixels, and the per-pixel sequences are not shifts of
+    each other."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.ops.rng import sobol_owen_2d
+
+    key = jax.random.key(3)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    p0 = np.asarray(sobol_owen_2d(key, 0, pix))  # [2, 256]
+    assert len(np.unique(p0[0].round(6))) > 200
+    assert abs(p0.mean() - 0.5) < 0.05
+
+
+def test_jitter_uniforms_dispatch():
+    """kind='uniform' is bit-identical to the JITTER_DEPTH lane stream
+    (the reference estimator's draws); unknown kinds fail loudly."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpu_pathtracer.ops.rng import (
+        JITTER_DEPTH, jitter_uniforms, lane_uniforms,
+    )
+
+    key = jax.random.key(11)
+    pix = jnp.arange(64, dtype=jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(jitter_uniforms(key, 5, pix, "uniform")),
+        np.asarray(lane_uniforms(key, 5, JITTER_DEPTH, pix, 2)),
+    )
+    assert np.asarray(jitter_uniforms(key, 5, pix, "sobol")).shape == (2, 64)
+    with pytest.raises(ValueError):
+        jitter_uniforms(key, 5, pix, "sobl")
+
+
+def test_sobol_jitter_reduces_pixel_variance():
+    """The estimator-visible win: at equal spp, Owen-Sobol camera jitter
+    integrates the pixel footprint with visibly less noise than uniform
+    jitter.  Oracle-free check on the jitter integrand itself: the variance
+    of mean(f(u,v)) over pixels for a smooth f drops by >= 4x at 16 spp
+    ((0,2)-sequences integrate smooth 2D functions at ~O(1/n) vs
+    O(1/sqrt(n)))."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.ops.rng import jitter_uniforms
+
+    key = jax.random.key(2)
+    pix = jnp.arange(512, dtype=jnp.int32)
+    spp = 16
+
+    def mean_f(kind):
+        acc = 0.0
+        for s in range(spp):
+            u = np.asarray(jitter_uniforms(key, s, pix, kind))
+            acc = acc + u[0] * u[1]  # smooth, nonseparable-ish integrand
+        return acc / spp  # [512] per-pixel estimates of E[uv] = 1/4
+
+    var_u = np.var(mean_f("uniform"))
+    var_s = np.var(mean_f("sobol"))
+    assert var_s * 4 < var_u, (var_s, var_u)

@@ -194,6 +194,15 @@ class RenderConfig:
     # bounces.  Both produce the same estimator sample-for-sample.
     compaction: bool = True
 
+    # Camera-jitter sampler: "uniform" reproduces the reference estimator
+    # (plain U[0,1)^2 per (pixel, sample) — src/raytracer.h:527-538);
+    # "sobol" swaps ONLY the camera-jitter draws for an Owen-scrambled
+    # (0,2)-sequence under the same counter discipline (ops/rng.py) —
+    # an estimator-visible quality upgrade the reference never had: same
+    # wall clock, visibly lower pixel variance at equal spp (A/B ledger in
+    # out/).  Off by default so every reference-parity test is untouched.
+    jitter: str = "uniform"
+
     # Intersector / scene-build performance knobs (exactness-neutral; see
     # IntersectTuning).  TPU_PT_* env vars override individual fields as a
     # probe shim.

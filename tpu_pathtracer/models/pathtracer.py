@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..config import IntersectTuning, RenderConfig
 from ..ops import bsdf, sampling, texture
 from ..ops.intersect import Hit, closest_hit, light_pdf_sum
-from ..ops.rng import JITTER_DEPTH, lane_uniforms
+from ..ops.rng import jitter_uniforms, lane_uniforms
 from ..ops.traverse import closest_hit_leaves
 from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
 from ..scene.types import Camera, TriangleScene
@@ -607,8 +607,9 @@ def persistent_accum(
         s = (w // pool_pix).astype(jnp.int32)
         pids = chunk_start + slot
         # Pixel-jitter draws: the JITTER_DEPTH stream of (pixel, sample) —
-        # identical to render_chunk's offsets.
-        offs = lane_uniforms(key, sample_start + s, JITTER_DEPTH, pids, 2)
+        # identical to render_chunk's offsets (or the Owen-Sobol point
+        # when config.jitter == "sobol"; same counter discipline).
+        offs = jitter_uniforms(key, sample_start + s, pids, config.jitter)
         o, d = gen_rays(scene.camera, pids, offs)
         return o, d, slot, s
 
@@ -739,7 +740,7 @@ def render_chunk(
     def body(s, acc):
         gs = sample_start + s
         # Pixel-jitter draws use a depth id no bounce can reach.
-        offsets = lane_uniforms(key, gs, JITTER_DEPTH, pixel_ids, 2)
+        offsets = jitter_uniforms(key, gs, pixel_ids, config.jitter)
         o, d = gen_rays(scene.camera, pixel_ids, offsets)
         rad = trace(scene, o, d, key, pixel_ids, config, sample=gs)
         return acc + sanitize_nans(rad)

@@ -112,3 +112,104 @@ def lane_uniforms(
         draws.append(_bits_to_unit(x0))
         draws.append(_bits_to_unit(x1))
     return jnp.stack(draws[:n_draws], axis=0)
+
+# ---------------------------------------------------------------------------
+# Low-discrepancy pixel jitter: Owen-scrambled 2D Sobol (round-4 stretch).
+#
+# The reference jitters camera rays with plain uniforms
+# (src/raytracer.h:527-538 via its per-span LCG); so does this framework by
+# default (lane_uniforms above).  RenderConfig.jitter="sobol" replaces ONLY
+# the camera-jitter draws with an Owen-scrambled (0,2)-sequence, keyed with
+# the same counter discipline: the point for (seed, pixel, sample) is a pure
+# function of those integers, so every reproducibility property (batch
+# split, sharding, engine choice, checkpoint resume) is untouched.  Owen
+# scrambling uses Burley's hash-based nested uniform scrambling
+# ("Practical Hash-based Owen Scrambling", JCGT 2020): a per-(pixel, dim)
+# hash permutes each dyadic interval independently, which preserves the
+# (0,2)-net property per pixel (pinned by tests) while fully decorrelating
+# pixels.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+# Direction numbers, MSB-aligned.  Dim 1 is the identity matrix (van der
+# Corput in base 2: value = reverse_bits(index)).  Dim 2 follows the
+# classic recurrence v[i] = v[i-1] ^ (v[i-1] >> 1) from v[0] = 2^31 (the
+# Pascal-matrix columns); validated by the elementary-interval tests.
+_SOBOL_V2 = _np.zeros(32, dtype=_np.uint32)
+_SOBOL_V2[0] = 0x80000000
+for _i in range(1, 32):
+    _SOBOL_V2[_i] = _SOBOL_V2[_i - 1] ^ (_SOBOL_V2[_i - 1] >> 1)
+
+
+def _reverse_bits32(x: jnp.ndarray) -> jnp.ndarray:
+    x = ((x >> U32(1)) & U32(0x55555555)) | ((x & U32(0x55555555)) << U32(1))
+    x = ((x >> U32(2)) & U32(0x33333333)) | ((x & U32(0x33333333)) << U32(2))
+    x = ((x >> U32(4)) & U32(0x0F0F0F0F)) | ((x & U32(0x0F0F0F0F)) << U32(4))
+    x = ((x >> U32(8)) & U32(0x00FF00FF)) | ((x & U32(0x00FF00FF)) << U32(8))
+    return (x >> U32(16)) | (x << U32(16))
+
+
+def _laine_karras(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Laine-Karras style hash: an Owen (nested uniform) scramble in the
+    REVERSED-bit domain — bit k of the output depends only on bits <= k of
+    the input, i.e. each dyadic interval is permuted onto itself.  Constants
+    from Burley 2020 (JCGT); any LK-family hash gives a valid Owen
+    scramble, quality differs only in how close to an ideal random
+    permutation it is."""
+    x = x + seed
+    x = x ^ (x * U32(0x6C50B47C))
+    x = x ^ (x * U32(0xB82F1E52))
+    x = x ^ (x * U32(0xC7AFE638))
+    x = x ^ (x * U32(0x8D22F6E6))
+    return x
+
+
+def _owen_scramble(v: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Owen-scramble an MSB-aligned sample value with one hashed seed."""
+    return _reverse_bits32(_laine_karras(_reverse_bits32(v), seed))
+
+
+def sobol_owen_2d(
+    key: jax.Array,
+    sample: _Int,  # scalar or [R] global sample index
+    pixel: jnp.ndarray,  # [R] linear pixel ids
+) -> jnp.ndarray:  # [2, R] f32 in [0, 1)
+    """Owen-scrambled 2D Sobol point ``sample`` for each pixel's sequence.
+
+    Per-pixel scramble seeds come from one threefry block of (key, pixel)
+    under a domain tag, so the jitter stream can never collide with the
+    estimator's lane_uniforms streams (which always carry a depth word)."""
+    k0, k1 = key_words(key)
+    p = pixel.astype(U32)
+    # Domain-tagged per-pixel seeds: one block -> two independent u32.
+    s1, s2 = tf2x32(k0 ^ U32(0x534F424C), k1, p, U32(0))  # 'SOBL'
+    idx = jnp.asarray(sample).astype(U32)
+    # Dim 1: value = reverse(idx); LK wants the reversed domain = idx.
+    d1 = _reverse_bits32(_laine_karras(idx + p * U32(0), s1))
+    # Dim 2: XOR of direction numbers at the set bits of idx.
+    v2 = jnp.asarray(_SOBOL_V2)
+    d2 = jnp.zeros_like(idx + p * U32(0))
+    for k in range(32):
+        d2 = d2 ^ (jnp.where((idx >> U32(k)) & U32(1) > 0, v2[k], U32(0))
+                   + p * U32(0))
+    d2 = _owen_scramble(d2, s2)
+    return jnp.stack([_bits_to_unit(d1), _bits_to_unit(d2)], axis=0)
+
+
+def jitter_uniforms(
+    key: jax.Array,
+    sample: _Int,
+    pixel: jnp.ndarray,
+    kind: str = "uniform",
+) -> jnp.ndarray:  # [2, R] f32 in [0, 1)
+    """Camera-jitter draws: ``kind`` = "uniform" (the reference's estimator,
+    lane_uniforms at JITTER_DEPTH) or "sobol" (Owen-scrambled (0,2)-sequence
+    — same counter discipline, visibly lower pixel variance at equal spp)."""
+    if kind == "sobol":
+        return sobol_owen_2d(key, sample, pixel)
+    if kind != "uniform":
+        raise ValueError(
+            f"unknown jitter kind {kind!r}: expected uniform | sobol"
+        )
+    return lane_uniforms(key, sample, JITTER_DEPTH, pixel, 2)

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..models.pathtracer import gen_rays, sanitize_nans, trace
-from ..ops.rng import JITTER_DEPTH, lane_uniforms
+from ..ops.rng import jitter_uniforms
 from ..scene.types import TriangleScene
 
 
@@ -119,7 +119,9 @@ def render_pass_sharded(
         def body(s, acc):
             rel_s = spp_idx * spp_local + s
             global_s = sample_start + rel_s
-            offsets = lane_uniforms(key, global_s, JITTER_DEPTH, pixel_ids, 2)
+            offsets = jitter_uniforms(
+                key, global_s, pixel_ids, config.jitter
+            )
             o, d = gen_rays(scene_rep.camera, pixel_ids, offsets)
             rad = trace(scene_rep, o, d, key, pixel_ids, config, sample=global_s)
             rad = jnp.where(rel_s < spp, sanitize_nans(rad), 0.0)
