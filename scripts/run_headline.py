@@ -158,7 +158,8 @@ def main() -> int:
         "out": out,
     }
     os.makedirs("out", exist_ok=True)
-    with open("out/headline_r3.json", "a") as f:
+    with open(os.environ.get("HEADLINE_LEDGER", "out/headline_r4.json"),
+              "a") as f:
         f.write(json.dumps(ledger) + "\n")
     print(json.dumps(ledger), flush=True)
     return 0
