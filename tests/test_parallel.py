@@ -227,3 +227,19 @@ def test_multihost_two_processes(scene, tmp_path):
     got = np.load(out)
     want = render(scene, spp=spp, seed=3)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_sharded_sobol_jitter_matches_single_device(scene):
+    """The Owen-Sobol jitter stream is a pure function of (seed, pixel,
+    sample) like every other draw, so sharded renders stay equal to
+    single-device under jitter='sobol' too."""
+    from tpu_pathtracer.config import RenderConfig
+
+    config = RenderConfig(jitter="sobol")
+    want = render(scene, spp=4, seed=9, config=config)
+    got = render_sharded(
+        scene, spp=4, seed=9, config=config, mesh=make_mesh(rays=2, spp=4)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    # And it is genuinely a different estimator stream than uniform.
+    assert np.abs(want - render(scene, spp=4, seed=9)).max() > 1e-4
