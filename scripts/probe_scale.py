@@ -54,29 +54,47 @@ def main() -> int:
         "atrium3": lambda d: make_atrium_gltf(d + "/a.gltf", detail=3),
     }
     names = os.environ.get("PROBE_SCENES", "field82,field820").split(",")
+    # Optional in-process tuning A/B: PROBE_TUNING_AB="field=value,..."
+    # renders each scene under the default tuning AND the override (a
+    # different IntersectTuning is a different trace, so one scene build
+    # serves both sides).
+    ab = os.environ.get("PROBE_TUNING_AB", "")
+    configs = [("", config)]
+    if ab:
+        over = {}
+        for kv in ab.split(","):
+            k, v = kv.split("=")
+            over[k] = type(getattr(config.tuning, k))(v)
+        configs.append((
+            f" [{ab}]",
+            dataclasses.replace(
+                config, tuning=dataclasses.replace(config.tuning, **over)
+            ),
+        ))
     for name in names:
         path = builders[name](f"/tmp/probe_scale/{name}")
         scene = parse_gltf_scene(path, w / h)
         scene = dataclasses.replace(
             scene, camera=scene.camera.with_dims(w, h))
-        render(scene, spp=spp, seed=0, config=config)  # warm-up + staging
-        best = float("inf")
-        rays = 0
-        for _ in range(2):
-            stats = {}
-            t0 = time.time()
-            render(scene, spp=spp, seed=1, config=config, stats=stats)
-            dt = time.time() - t0
-            if dt < best:
-                best, rays = dt, stats.get("measured_rays", 0)
-        print(json.dumps({
-            "scene": name,
-            "tris": int(scene.valid.sum()),
-            "chunks": int(scene.chunk_woop.shape[0]),
-            "seconds": round(best, 2),
-            "samples_per_s": round(w * h * spp / best, 1),
-            "measured_mrays_per_s": round(rays / best / 1e6, 3),
-        }), flush=True)
+        for tag, cfg in configs:
+            render(scene, spp=spp, seed=0, config=cfg)  # warm-up + staging
+            best = float("inf")
+            rays = 0
+            for _ in range(2):
+                stats = {}
+                t0 = time.time()
+                render(scene, spp=spp, seed=1, config=cfg, stats=stats)
+                dt = time.time() - t0
+                if dt < best:
+                    best, rays = dt, stats.get("measured_rays", 0)
+            print(json.dumps({
+                "scene": name + tag,
+                "tris": int(scene.valid.sum()),
+                "chunks": int(scene.chunk_woop.shape[0]),
+                "seconds": round(best, 2),
+                "samples_per_s": round(w * h * spp / best, 1),
+                "measured_mrays_per_s": round(rays / best / 1e6, 3),
+            }), flush=True)
     return 0
 
 

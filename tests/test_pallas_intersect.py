@@ -236,13 +236,17 @@ def test_super_block_gate_matches_dense(monkeypatch):
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
         jnp.asarray(cmax), jnp.asarray(woop), mode="dense", **kw,
     )
-    monkeypatch.setattr(pi, "_SUPER_BLOCK_MIN", 0)
-    # The threshold is read at trace time; drop any cached trace of the same
-    # shape signature so the gated path actually compiles.
-    closest_hit_chunks.clear_cache()
+    # Round 4: the threshold moved from the module constant into
+    # IntersectTuning.super_min (a static jit arg, so no cache clearing is
+    # needed — a different tuning is a different trace).  super_tbound_min=1
+    # additionally forces the T-BOUNDED coarse recheck gate so its
+    # conservativeness is pinned by the same dense comparison.
+    from tpu_pathtracer.config import IntersectTuning
+
     gated = closest_hit_chunks(
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(cw), jnp.asarray(cmin),
-        jnp.asarray(cmax), jnp.asarray(woop), mode="twopass", **kw,
+        jnp.asarray(cmax), jnp.asarray(woop), mode="twopass",
+        tuning=IntersectTuning(super_min=0, super_tbound_min=1), **kw,
     )
     assert np.asarray(dense.hit)[: r // 2].sum() > 50
     assert not np.asarray(dense.hit)[r // 2:].any()

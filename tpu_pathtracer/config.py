@@ -22,6 +22,7 @@ _TUNING_ENV = {
     "mode": "TPU_PT_INTERSECT",
     "sub_rows": "TPU_PT_SUB",
     "super_min": "TPU_PT_SUPER_MIN",
+    "super_tbound_min": "TPU_PT_SUPER_TBOUND_MIN",
     "pass1_min": "TPU_PT_PASS1_MIN",
     "near": "TPU_PT_NEAR",
     "max_cap": "TPU_PT_MAX_CAP",
@@ -59,6 +60,11 @@ class IntersectTuning:
     sub_rows: int = 64
     # Column blocks above which the super-block prepass gate engages.
     super_min: int = 3
+    # Column blocks at/above which cascade RECHECKS recompute the coarse
+    # gate T-BOUNDED (per-ray best t; 0 = never).  Engages at ~1M+
+    # triangles, where probe_scale_r4 showed the unbounded gate stops
+    # pruning (rays pierce most blocks unbounded, but not within best-t).
+    super_tbound_min: int = 16
     # Minimum near-pass-1 worklist cap (ladder base = max(this, cg // 9)).
     pass1_min: int = 4
     # Near-pass ladder multipliers (x base/4 each), comma-separated.

@@ -334,12 +334,22 @@ def super_block_bits(
     min_dst: float,
     ray_tile: int,
     interpret: bool,
+    tbest: jnp.ndarray | None = None,  # [R] per-ray far bound (None = inf)
 ) -> jnp.ndarray:  # [T, ceil(nb/32)] int32
     """Coarse gate for the activity prepass: one AABB per _ACT_COLS-chunk
     column block (jnp nan-reductions — padded chunks are NaN and vanish),
     slab-tested by the SAME activity kernel at trivial width, bit-packed for
     SMEM prefetch.  Reused across every cascade recheck (the per-ray t
     bound only shrinks activity, so the unbounded coarse gate stays valid).
+
+    ``tbest`` gives the T-BOUNDED form (round 4): a block whose entry lies
+    beyond every ray's current best hit cannot improve any hit, so recheck
+    grid steps for far blocks are skipped wholesale once rays have found
+    near hits — the missing coarse-level analog of the per-ray far prune.
+    probe_scale_r4 showed the unbounded gate stops helping past ~8M
+    triangles (open-field rays pierce most blocks UNBOUNDED, but not
+    within their best-t).  Cost is one trivial-width activity pass over
+    nb block AABBs.
     """
     c = chunk_min.shape[0]
     pad = (-c) % _ACT_COLS
@@ -354,7 +364,7 @@ def super_block_bits(
     cb_min = jnp.nanmin(chunk_min.reshape(nb, _ACT_COLS, 3), axis=1)
     cb_max = jnp.nanmax(chunk_max.reshape(nb, _ACT_COLS, 3), axis=1)
     coarse_act, _, _, _ = tile_chunk_activity(
-        rays, cb_min, cb_max, min_dst, ray_tile, interpret
+        rays, cb_min, cb_max, min_dst, ray_tile, interpret, tbest=tbest
     )
     return _bitpack(coarse_act)
 
@@ -934,8 +944,9 @@ def closest_hit_chunks(
     # ray enters are skipped from a prefetched coarse bit (VERDICT r2
     # missing #2: the traversal level above chunks).
     cbits = None
+    n_blocks = -(-cg * group // _ACT_COLS)
     if mode != "bins":
-        if -(-cg * group // _ACT_COLS) > tuning.super_min:
+        if n_blocks > tuning.super_min:
             cbits = super_block_bits(
                 rays, chunk_min, chunk_max, min_dst, ray_tile, interpret
             )
@@ -1270,6 +1281,22 @@ def closest_hit_chunks(
                     gate = _live_block_bits(live, group)
                     if cbits is not None:
                         gate = gate & cbits
+                if (
+                    cbits is not None
+                    and tuning.super_tbound_min
+                    and n_blocks >= tuning.super_tbound_min
+                ):
+                    # T-BOUNDED coarse gate (round 4): recompute the
+                    # super-block bits against the per-ray best t, so
+                    # recheck grid steps for blocks no ray can still
+                    # improve in are skipped wholesale.  Engaged only at
+                    # large block counts — at atrium scale (4 blocks) the
+                    # extra trivial-width pass cannot pay for itself.
+                    cb_t = super_block_bits(
+                        rays, chunk_min, chunk_max, min_dst, ray_tile,
+                        interpret, tbest=t_c[:, 0],
+                    )
+                    gate = cb_t if gate is None else gate & cb_t
                 act_, _, sub_, _ = tile_chunk_activity(
                     rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
                     tbest=t_c[:, 0], coarse_bits=gate, n_sub=n_sub,
