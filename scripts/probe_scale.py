@@ -73,10 +73,15 @@ def main() -> int:
         ))
     for name in names:
         path = builders[name](f"/tmp/probe_scale/{name}")
-        scene = parse_gltf_scene(path, w / h)
-        scene = dataclasses.replace(
-            scene, camera=scene.camera.with_dims(w, h))
         for tag, cfg in configs:
+            # Parse PER CONFIG: scene-build knobs (chunk_tris/build/
+            # quad_max) are applied at parse time, so a single shared parse
+            # would silently report an A/B that never happened for those
+            # fields (code-review r4 finding).  Render-only overrides pay
+            # a redundant parse; correctness of the ledger wins.
+            scene = parse_gltf_scene(path, w / h, cfg)
+            scene = dataclasses.replace(
+                scene, camera=scene.camera.with_dims(w, h))
             render(scene, spp=spp, seed=0, config=cfg)  # warm-up + staging
             best = float("inf")
             rays = 0

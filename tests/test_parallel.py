@@ -243,3 +243,24 @@ def test_sharded_sobol_jitter_matches_single_device(scene):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
     # And it is genuinely a different estimator stream than uniform.
     assert np.abs(want - render(scene, spp=4, seed=9)).max() > 1e-4
+
+
+def test_sharded_padded_tail_counter_parity(big_scene):
+    """A frame whose pixel count does NOT divide the sharded chunk must
+    exclude the padded tail from both radiance and measured_rays, exactly
+    like the single-host render (code-review r4: render_pass_sharded
+    originally spawned and counted out-of-frame pixel ids; partially-padded
+    ranks exercise the per-rank pix_count clamp)."""
+    s = dataclasses.replace(
+        big_scene, camera=big_scene.camera.with_dims(120, 60)
+    )
+    stats_single = {}
+    want = render(s, spp=2, seed=7, stats=stats_single)
+    stats_sharded = {}
+    got = render_sharded(
+        s, spp=2, seed=7, mesh=make_mesh(rays=4, spp=2),
+        stats=stats_sharded,
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    assert stats_sharded["measured_rays"] > 0
+    assert stats_sharded["measured_rays"] == stats_single["measured_rays"]

@@ -53,7 +53,8 @@ class IntersectTuning:
 
     # Intersect mode: "items" (compacted work-item cascade, the measured
     # default), "twopass" (slot-grid cascade), "dense" (A/B oracle),
-    # "bins"/"bins2" (per-ray binned experiments).
+    # "bins" (the per-ray binned experiment, opt-in; closed by the round-4
+    # granularity decomposition).
     mode: str = "items"
     # Rays per sub-tile for activity gating (power-of-two divisor of the
     # ray tile; 64 measured optimal — 32 pays narrow-op overhead).

@@ -1296,7 +1296,7 @@ def closest_hit_chunks(
                         rays, chunk_min, chunk_max, min_dst, ray_tile,
                         interpret, tbest=t_c[:, 0],
                     )
-                    gate = cb_t if gate is None else gate & cb_t
+                    gate = gate & cb_t  # gate != None: initialized from cbits
                 act_, _, sub_, _ = tile_chunk_activity(
                     rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
                     tbest=t_c[:, 0], coarse_bits=gate, n_sub=n_sub,
@@ -1791,8 +1791,11 @@ def ray_sort_key_dirhint(
     key's 71.5k (-20%) — the best implementable order measured; the
     clustering ORACLE itself only reaches 39.6k (union bloat is intrinsic
     hemisphere divergence), so this key captures ~half of everything any
-    order can give.  Keys fit int32 to ~5.5M chunks (48 * 8 * (C + 1) <
-    2^31)."""
+    order can give.  (Chip A/B: LOSES 9.3% end-to-end — kept as an option
+    with that evidence, out/campaign_r4.jsonl.)  Keys fit int32 to ~5.5M
+    chunks (48 * 8 * (C + 1) < 2^31); the dead-ray sentinel is int32 max
+    so dead rays sort last over that whole range (1 << 30 would fall
+    below live keys past ~2.8M chunks — code-review r4 finding)."""
     octant = _dir_octant(direction)
     dom = jnp.argmax(jnp.abs(direction), axis=1)
     minor0 = jnp.where(dom == 0, direction[:, 1], direction[:, 0])
@@ -1802,7 +1805,7 @@ def ray_sort_key_dirhint(
     dir4 = (dom.astype(jnp.int32) * 4 + b0) * 4 + b1
     bucket = jnp.clip(jnp.where(hint >= 0, hint, n_chunks), 0, n_chunks)
     key = (dir4 * (n_chunks + 1) + bucket) * 8 + octant
-    return jnp.where(alive, key, jnp.int32(1 << 30))
+    return jnp.where(alive, key, jnp.iinfo(jnp.int32).max)
 
 
 def ray_sort_key(

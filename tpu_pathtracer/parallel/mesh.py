@@ -65,10 +65,15 @@ def render_pass_sharded(
     """One sharded accumulation pass: pixels split over 'rays', samples split
     over 'spp', psum-merged.  Bit-identical to the host-loop renderer.
 
-    The second output is the TRUE bounce-ray count (live lanes entering each
-    bounce, psum-merged over the whole mesh — round-4: sharded renders now
-    report the same measured-rays metric the single-host path does; it is 0
-    under the scan engine, which does not count)."""
+    The second output is the TRUE bounce-ray count as a per-'rays'-rank
+    vector [n_rays_mesh] (live lanes entering each bounce, psum-merged over
+    'spp' only — round-4: sharded renders report the same measured-rays
+    metric the single-host path does).  Per-rank because one mesh-wide
+    int32 psum can wrap at pod scale (rank counts are individually bounded
+    by the engine's int32 pool guard; the host sums them in int64).  Padded
+    tail pixels past the frame are EXCLUDED from both radiance and the
+    counter (pix_count per rank), exactly like the single-host render; the
+    count is 0 under the scan engine, which does not count."""
     n_rays_mesh = mesh.shape["rays"]
     n_spp_mesh = mesh.shape["spp"]
     assert n_rays_global % n_rays_mesh == 0
@@ -96,18 +101,27 @@ def render_pass_sharded(
             )
             my_count = jnp.clip(spp - spp_idx * spp_local, 0, spp_local)
             my_count = jax.lax.pcast(my_count, ("rays",), to="varying")
+            # Useful pixels of this rank's slice: a pass whose chunk spans
+            # the frame's padded tail must not trace (or count) the padding
+            # — same pix_count discipline as the single-host render()
+            # (pathtracer.py: the r3 inflated-counter fix).  pool shape
+            # floors at 1 so a fully-padded rank's `% pool_pix` stays
+            # defined; its w_total is 0, so nothing spawns either way.
+            npix = scene_rep.camera.width * scene_rep.camera.height
+            pc_rank = jnp.clip(npix - rank_start, 0, n_local)
             acc, n_bounce = persistent_accum(
                 scene_rep,
                 rank_start,
                 key,
                 sample_start + spp_idx * spp_local,
                 n_local,
-                n_local * my_count,
+                pc_rank * my_count,
                 config,
+                pix_count=jnp.maximum(pc_rank, 1),
             )
             return (
                 jax.lax.psum(acc, "spp") / spp,
-                jax.lax.psum(n_bounce, ("rays", "spp")),
+                jax.lax.psum(n_bounce, "spp").reshape(1),
             )
 
         pixel_ids = chunk_start + ray_idx * n_local + jnp.arange(n_local)
@@ -135,14 +149,17 @@ def render_pass_sharded(
         # full mean so the output is replicated along that axis.
         acc = jax.lax.psum(acc, "spp")
         # The scan engine traces no ray counter; report 0 (as render() does).
-        return acc / spp, jnp.zeros((), jnp.int32)
+        zero = jax.lax.pcast(
+            jnp.zeros((1,), jnp.int32), ("rays",), to="varying"
+        )
+        return acc / spp, zero
 
     scene_specs = jax.tree.map(lambda _: P(), scene)
     return jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(scene_specs, P(), P(), P()),
-        out_specs=(P("rays", None), P()),
+        out_specs=(P("rays", None), P("rays")),
     )(scene, chunk_start, key, sample_start)
 
 
@@ -208,7 +225,9 @@ def render_sharded(
         for attempt in range(config.failure_retries + 1):
             try:
                 host = np.asarray(rad[:n])
-                pass_rays = int(np.asarray(nb))
+                # Per-'rays'-rank counts; int64 host sum (a mesh-wide int32
+                # psum could wrap at pod scale).
+                pass_rays = int(np.asarray(nb).astype(np.int64).sum())
                 break
             except Exception:  # device/runtime crash surfaced at readback
                 if attempt == config.failure_retries:

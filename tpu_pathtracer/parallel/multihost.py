@@ -133,6 +133,15 @@ def render_multihost(
             cand.fingerprint in (0, fp)
         ):
             state = cand
+        else:
+            import sys
+
+            print(
+                f"checkpoint {checkpoint_path} does not match this render "
+                "(dims/seed/scene+config fingerprint); ignoring it and "
+                "restarting from sample 0",
+                file=sys.stderr,
+            )
     if state is None:
         state = RenderState(
             accum=np.zeros((npix, 3), dtype=np.float32),
@@ -142,6 +151,21 @@ def render_multihost(
             seed=seed,
             fingerprint=fp,
         )
+    if jax.process_count() > 1:
+        # Hosts checkpoint to their OWN files and may disagree after a
+        # partial failure (one host restarted on a fresh disk, a stale or
+        # rejected file): differing samples_done would desynchronize the
+        # per-span allgather collectives (code-review r4 finding).  Host
+        # 0's state is authoritative — every host already holds the FULL
+        # merged accumulator after each pass, so broadcasting rank 0's
+        # (samples_done, accum) once at resume restores agreement exactly.
+        from jax.experimental import multihost_utils
+
+        done, accum = multihost_utils.broadcast_one_to_all(
+            (np.int32(state.samples_done), state.accum)
+        )
+        state.samples_done = int(done)
+        state.accum = np.asarray(accum, dtype=np.float32)
 
     pass_spp = checkpoint_every or config.spp_per_pass
     while state.samples_done < spp:
