@@ -264,3 +264,57 @@ def test_sharded_padded_tail_counter_parity(big_scene):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
     assert stats_sharded["measured_rays"] > 0
     assert stats_sharded["measured_rays"] == stats_single["measured_rays"]
+
+
+def test_multihost_two_process_desynced_checkpoint_resume(scene, tmp_path):
+    """The pod resume-desync scenario, executed for real: two
+    jax.distributed processes checkpoint to their OWN files, then rank 1
+    'loses' its file (restarted host, fresh disk) and the job resumes.
+    Without the rank-0 broadcast (code-review r4 finding) rank 1 would
+    restart from sample 0 and run more allgather spans than rank 0 —
+    a distributed hang.  With it, both hosts resume from rank 0's
+    (samples_done, accum) and the final image matches the single-host
+    render."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    p = make_cornell_gltf(str(tmp_path / "c.gltf"))
+    out = str(tmp_path / "img.npy")
+    ck = str(tmp_path / "ck{rank}.npz")
+    worker = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multihost_worker.py"
+    )
+    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("JAX_PLATFORMS", None)
+
+    def run(spp):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(r), "2", f"localhost:{port}",
+                 p, str(spp), out, ck, "4"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for r in range(2)
+        ]
+        for pr in procs:
+            try:
+                _, err = pr.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("multihost worker timed out (resume desync?)")
+            assert pr.returncode == 0, err[-2000:]
+
+    run(4)  # both ranks checkpoint samples_done=4 to their own files
+    assert os.path.exists(str(tmp_path / "ck0.npz"))
+    os.remove(str(tmp_path / "ck1.npz"))  # rank 1 restarted on a fresh disk
+    run(8)  # resume: rank 0 at 4, rank 1 at 0 -> broadcast realigns
+    got = np.load(out)
+    want = render(scene, spp=8, seed=3)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

@@ -165,7 +165,9 @@ def render_multihost(
             (np.int32(state.samples_done), state.accum)
         )
         state.samples_done = int(done)
-        state.accum = np.asarray(accum, dtype=np.float32)
+        # Copy: broadcast results come back read-only, and accum is the
+        # running in-place accumulator.
+        state.accum = np.array(accum, dtype=np.float32)
 
     pass_spp = checkpoint_every or config.spp_per_pass
     while state.samples_done < spp:
