@@ -180,8 +180,11 @@ class RenderConfig:
     # octant — geometry-aware, tracks where the ray is GOING rather than
     # where it spawned; "dirhint": fine-direction bins MAJOR over the spawn
     # chunk (round-4: the best implementable order in probe_sortkey_proxy,
-    # -20% union activations vs "hint" on atrium secondaries).  Purely a
-    # perf knob: sorting is observationally free (per-pixel counter RNG).
+    # -20% union activations vs "hint" on atrium secondaries — but LOSES
+    # 9.3% on chip, out/campaign_r4.jsonl); "none": compaction-only order
+    # (dead rays last, live order untouched — prices the coherence value;
+    # also the reference's analog, which never sorts).  Purely a perf
+    # knob: sorting is observationally free (per-pixel counter RNG).
     sort_key: str = "hint"
 
     # Frame pool (compaction engine, single-host render() path only): each

@@ -382,13 +382,13 @@ def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
         ray_sort_key_target,
     )
 
-    if config.sort_key not in ("hint", "dirhint", "cell", "target"):
+    if config.sort_key not in ("hint", "dirhint", "cell", "target", "none"):
         # Reject typos loudly (same contract as TPU_PT_INTERSECT): a silent
         # fall-through to the "cell" key would ship the wrong variant's
         # timing in a BENCH_SORT A/B campaign.
         raise ValueError(
             f"unknown sort_key {config.sort_key!r}: expected hint | dirhint"
-            " | cell | target"
+            " | cell | target | none"
         )
     if config.sort_key == "target":
         g_lo, g_hi = group_boxes(scene.chunk_aabb_min, scene.chunk_aabb_max)
@@ -420,6 +420,12 @@ def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
             return ray_sort_key_hint(d, alive, hint, n_chunks)
         if config.sort_key == "dirhint":
             return ray_sort_key_dirhint(d, alive, hint, n_chunks)
+        if config.sort_key == "none":
+            # Compaction-only order (dead rays last, live order untouched):
+            # prices the coherence machinery in context — the reference has
+            # no ray sorting either, so this is also its closest analog.
+            del o, d, hint
+            return jnp.where(alive, 0, 1).astype(jnp.int32)
         return ray_sort_key(o, d, alive, scene_lo, scene_hi)
 
     return key_fn
