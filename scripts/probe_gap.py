@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""On-chip probe: name the engine's ~12 ms/iter gap (engine ~63 ms vs the
+~51 ms sum of stage timings, docs/STATUS.md item 27).
+
+Candidates the stage probes never isolated, each fori-chained (RTT-immune):
+
+  argsort        jnp.argsort of the [R] int32 sort key
+  permute_all    take-along of the engine's FULL carry bundle (the stage
+                 ledger counted only the 10-uniform permute): o, d,
+                 throughput, radiance (4x [R,3]), plus 6 [R] int/bool
+                 carries — 18 columns
+  cond_sync      a while_loop whose body is one cheap vector op and whose
+                 cond is any(alive) — prices the per-iteration
+                 vector->scalar sync + loop overhead at the engine's trip
+                 count
+  spawn          refill math: lane_uniforms(2) + gen_rays + selects
+
+Env: PROBE_K iterations (default 32), PROBE_R rays (65536).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from tpu_pathtracer.cli import setup_backend
+
+    setup_backend()
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.models.pathtracer import gen_rays
+    from tpu_pathtracer.ops.rng import lane_uniforms
+    from tpu_pathtracer.scene.types import Camera
+
+    k_iter = int(os.environ.get("PROBE_K", "32"))
+    r = int(os.environ.get("PROBE_R", str(64 * 1024)))
+    key = jax.random.key(0)
+    rng = jax.random.split(key, 4)
+    keys = jnp.arange(r, dtype=jnp.int32) * 2654435761 % (1 << 20)
+    vec3s = [jax.random.uniform(k, (r, 3)) for k in rng]
+    ints = [
+        (jnp.arange(r, dtype=jnp.int32) * m) % 7919
+        for m in (3, 5, 7, 11, 13, 17)
+    ]
+    jax.block_until_ready((keys, vec3s, ints))
+
+    def emit(**kw):
+        print(json.dumps(kw), flush=True)
+
+    def timeit(name, fn, *args):
+        f = jax.jit(fn)
+        out = f(*args)
+        jax.block_until_ready(out)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(f(*args))
+            dt = (time.time() - t0) * 1000
+            best = dt if best is None else min(best, dt)
+        emit(case=name, ms_total=round(best, 2),
+             ms_per_iter=round(best / k_iter, 3), k=k_iter)
+
+    def loop_argsort(kk):
+        def body(i, acc):
+            p = jnp.argsort(kk + i)
+            return acc + p[:1]
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,), jnp.int32))
+
+    timeit("argsort", loop_argsort, keys)
+
+    def loop_permute(kk, v0, v1, v2, v3, i0, i1, i2, i3, i4, i5):
+        def body(i, acc):
+            p = jnp.argsort(kk + i)
+            outs = [v[p] for v in (v0, v1, v2, v3)]
+            outi = [x[p] for x in (i0, i1, i2, i3, i4, i5)]
+            return acc + outs[0][:1, 0] + outi[0][:1].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
+
+    timeit("argsort_plus_permute_all", loop_permute, keys, *vec3s, *ints)
+
+    def loop_cond(v):
+        def cond(st):
+            i, x = st
+            return (i < k_iter) & jnp.any(x[:, 0] < 1e30)
+
+        def body(st):
+            i, x = st
+            return i + 1, x * 1.0000001
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), v))
+
+    timeit("cond_sync_loop", loop_cond, vec3s[0])
+
+    cam = Camera(
+        position=jnp.zeros(3), right=jnp.array([1.0, 0, 0]),
+        up=jnp.array([0, 1.0, 0]), forward=jnp.array([0, 0, 1.0]),
+        fov_x=jnp.asarray(1.2), width=512, height=512,
+    )
+
+    def loop_spawn(i0):
+        def body(i, acc):
+            pids = (i0 + i) % (512 * 512)
+            offs = lane_uniforms(key, i, 0x7FFFFFFF, pids, 2)
+            o, d = gen_rays(cam, pids, offs)
+            return acc + o[:1, 0] + d[:1, 0]
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
+
+    timeit("spawn_refill", loop_spawn, ints[0])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
