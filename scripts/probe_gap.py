@@ -41,7 +41,7 @@ def main() -> int:
     r = int(os.environ.get("PROBE_R", str(64 * 1024)))
     key = jax.random.key(0)
     rng = jax.random.split(key, 4)
-    keys = jnp.arange(r, dtype=jnp.int32) * 2654435761 % (1 << 20)
+    keys = jnp.arange(r, dtype=jnp.int32) * 97103 % (1 << 20)
     vec3s = [jax.random.uniform(k, (r, 3)) for k in rng]
     ints = [
         (jnp.arange(r, dtype=jnp.int32) * m) % 7919
@@ -65,21 +65,29 @@ def main() -> int:
         emit(case=name, ms_total=round(best, 2),
              ms_per_iter=round(best / k_iter, 3), k=k_iter)
 
+    # Position-weighted sums force the FULL permutation: consuming only
+    # element 0 lets XLA reduce argsort+slice to argmin (first attempt
+    # measured 0.002 ms/iter -- dead code, not a sort).
+    w = jax.random.uniform(rng[0], (r,))
+
     def loop_argsort(kk):
         def body(i, acc):
             p = jnp.argsort(kk + i)
-            return acc + p[:1]
+            return acc + jnp.sum(p.astype(jnp.float32) * w)[None]
 
-        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,), jnp.int32))
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
 
     timeit("argsort", loop_argsort, keys)
 
     def loop_permute(kk, v0, v1, v2, v3, i0, i1, i2, i3, i4, i5):
         def body(i, acc):
             p = jnp.argsort(kk + i)
-            outs = [v[p] for v in (v0, v1, v2, v3)]
-            outi = [x[p] for x in (i0, i1, i2, i3, i4, i5)]
-            return acc + outs[0][:1, 0] + outi[0][:1].astype(jnp.float32)
+            tot = jnp.zeros(())
+            for v in (v0, v1, v2, v3):
+                tot = tot + jnp.sum(v[p][:, 0] * w)
+            for x in (i0, i1, i2, i3, i4, i5):
+                tot = tot + jnp.sum(x[p].astype(jnp.float32) * w)
+            return acc + tot[None]
 
         return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
 
