@@ -52,6 +52,15 @@ def render_scene_file(
     """Load + render any supported scene file -> (HDR numpy image, metrics)."""
     from .utils.metrics import RenderMetrics
 
+    # The 5-arg CLI contract has no flag slots (parity with main.cpp), so
+    # the estimator-VISIBLE extension the reference lacks is reachable via
+    # env: TPU_PATHTRACER_JITTER=sobol swaps the camera jitter for the
+    # Owen-scrambled (0,2)-sequence (config.py `jitter`; perf knobs go
+    # through TPU_PT_* / IntersectTuning instead).
+    env_jitter = os.environ.get("TPU_PATHTRACER_JITTER")
+    if env_jitter and env_jitter != config.jitter:
+        config = dataclasses.replace(config, jitter=env_jitter)
+
     t0 = time.perf_counter()
     if scene_path.endswith(".gltf") or scene_path.endswith(".glb"):
         from .scene.gltf import parse_gltf_scene
