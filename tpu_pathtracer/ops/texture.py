@@ -110,38 +110,67 @@ def sample_many(
         # corners in exactly this (c00, c01, c10, c11) order.  Bit-equal.
         rows = atlas.quad[off + px + py * w]  # [R, K, 16]
         texels_pre = rows.reshape(rows.shape[0], k, 4, 4)
-    else:
-        idx = jnp.stack(
-            [
-                off + px + py * w,
-                off + px + py1 * w,
-                off + px1 + py * w,
-                off + px1 + py1 * w,
-            ],
-            axis=-1,
-        )  # [R, K, 4]
-        texels = atlas.texels[idx.reshape(idx.shape[0], -1)]  # ONE gather [R, 4K, 4]
-        texels_pre = texels.reshape(idx.shape[0], k, 4, 4)  # [R, K, corner, rgba]
+        gam = jnp.asarray(gammas, dtype=uv.dtype)[None, :, None, None]
+        rgb = jnp.where(
+            gam == 1.0, texels_pre[..., :3],
+            jnp.power(texels_pre[..., :3], gam),
+        )
+        texels = jnp.concatenate([rgb, texels_pre[..., 3:]], axis=-1)
+        c00, c01, c10, c11 = (texels[:, :, i] for i in range(4))
+        bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * (
+            (1 - dy) * c10 + dy * c11
+        )
+        single = ((w * h) == 1)[..., None]
+        raw = texels_pre[:, :, 0]
+        return jnp.where(single, raw, bilinear)
 
-    gam = jnp.asarray(gammas, dtype=uv.dtype)[None, :, None, None]
-    # Bit-parity with `sample`: gamma-1 textures bypass pow entirely (XLA's
+    # Default path: FLAT corner-major lanes.  The round-4 device trace
+    # showed the old [R, K, 4corner, 4rgba] pipeline was ~8.6 ms/iter of
+    # the engine: minor dims of 4 tile as (8, 128) vregs at 1/32 lane
+    # occupancy, and every pow/select/lerp materialized an [R,4,4,4]
+    # intermediate plus layout copies (copy.1520 alone 1.6 ms/iter).
+    # Operating on [R, 16K] with lane = (corner*K + tex)*4 + channel keeps
+    # the corner slices contiguous ([R, 4K] each) and every elementwise op
+    # >= 50% lane-occupied.  Arithmetic per element is IDENTICAL (same
+    # pow/bypass, same lerp order), so results stay bit-equal.
+    idx = jnp.stack(
+        [
+            off + px + py * w,
+            off + px + py1 * w,
+            off + px1 + py * w,
+            off + px1 + py1 * w,
+        ],
+        axis=1,
+    )  # [R, corner, K]
+    texels4 = atlas.texels[idx.reshape(idx.shape[0], -1)]  # [R, 4K, 4]
+    flat = texels4.reshape(idx.shape[0], 16 * k)
+    gam_lane = jnp.asarray(
+        [
+            gammas[kk] if ch < 3 else 1.0
+            for _corner in range(4)
+            for kk in range(k)
+            for ch in range(4)
+        ],
+        dtype=uv.dtype,
+    )[None, :]
+    # Bit-parity with `sample`: gamma-1 lanes bypass pow entirely (XLA's
     # f32 pow(x, 1) is not guaranteed to be the identity).
-    rgb = jnp.where(
-        gam == 1.0, texels_pre[..., :3], jnp.power(texels_pre[..., :3], gam)
-    )
-    texels = jnp.concatenate([rgb, texels_pre[..., 3:]], axis=-1)
-
-    c00, c01, c10, c11 = (texels[:, :, i] for i in range(4))
-    bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * (
-        (1 - dy) * c10 + dy * c11
+    dec = jnp.where(gam_lane == 1.0, flat, jnp.power(flat, gam_lane))
+    c00 = dec[:, 0 * 4 * k : 1 * 4 * k]
+    c01 = dec[:, 1 * 4 * k : 2 * 4 * k]
+    c10 = dec[:, 2 * 4 * k : 3 * 4 * k]
+    c11 = dec[:, 3 * 4 * k : 4 * 4 * k]
+    wx = jnp.repeat(dx[..., 0], 4, axis=1)  # [R, 4K], lane = tex*4 + ch
+    wy = jnp.repeat(dy[..., 0], 4, axis=1)
+    bilinear = (1 - wx) * ((1 - wy) * c00 + wy * c01) + wx * (
+        (1 - wy) * c10 + wy * c11
     )
     # 1x1 short-circuit: raw texel, NO gamma (src/geometry.h:548-550).
-    # For w = h = 1 every corner index equals ``off`` (mod_inc wraps 0 -> 0),
-    # so the pre-gamma c00 corner IS atlas.texels[off] — reusing it saves a
-    # second [R, K] row gather.
-    single = ((w * h) == 1)[..., None]
-    raw = texels_pre[:, :, 0]
-    return jnp.where(single, raw, bilinear)
+    # For w = h = 1 every corner index equals ``off`` (mod_inc wraps
+    # 0 -> 0), so the pre-gamma c00 corner IS atlas.texels[off].
+    single = jnp.repeat(((w * h) == 1), 4, axis=1)
+    raw = flat[:, 0 : 4 * k]
+    return jnp.where(single, raw, bilinear).reshape(idx.shape[0], k, 4)
 
 
 def sample_normal(
