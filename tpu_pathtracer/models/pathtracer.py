@@ -192,19 +192,21 @@ def hit_info(
         bitangent = cross(smooth, tangent)
         # All four material textures sample the same uv: ONE fused gather
         # for the 16 corner texels (ops/texture.sample_many).
+        # flat=True: lane-sliced [R, 16] result skips the [R,K,4] output
+        # relayout (0.71 ms/iter in the round-4 device trace).
         fetched = texture.sample_many(
             scene.atlas,
             jnp.stack([color_tex, emissive_tex, mr_tex, normal_tex], axis=1),
             uv,
             (2.2, 2.2, 1.0, 1.0),
+            flat=True,
         )
-        normal_loc = normalize(fetched[:, 3, :3] * 2.0 - 1.0)  # sample_normal
+        normal_loc = normalize(fetched[:, 12:15] * 2.0 - 1.0)  # sample_normal
         shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
-        color = base_color * fetched[:, 0]
-        emission = base_emission * fetched[:, 1, :3]
-        mr = fetched[:, 2]
-        metallic = base_metallic * mr[:, 2]  # B channel (src/geometry.h:625)
-        roughness = base_roughness * mr[:, 1]  # G channel
+        color = base_color * fetched[:, 0:4]
+        emission = base_emission * fetched[:, 4:7]
+        metallic = base_metallic * fetched[:, 10]  # mr B ch (geometry.h:625)
+        roughness = base_roughness * fetched[:, 9]  # mr G channel
     else:
         shading = smooth
         color = base_color

@@ -84,7 +84,10 @@ def sample_many(
     tex_ids: jnp.ndarray,  # [R, K] int32 (K textures sampled at the same uv)
     uv: jnp.ndarray,  # [R, 2]
     gammas,  # length-K tuple of static floats
-) -> jnp.ndarray:  # [R, K, 4]
+    flat: bool = False,  # True -> [R, 4K] (lane = tex*4 + channel): skips
+    #   the [R,K,4] output reshape, which the round-4 device trace priced
+    #   at 0.71 ms/iter (minor-dim-4 relayout); hot callers lane-slice.
+) -> jnp.ndarray:  # [R, K, 4] (or [R, 4K] when flat)
     """Fused multi-texture bilinear fetch: all K textures' 4 corner texels
     gathered in ONE [R, 4K] row-gather from the pool (the shade stage reads
     baseColor/emissive/MR/normal at the same uv — 16 scattered gathers fold
@@ -122,7 +125,8 @@ def sample_many(
         )
         single = ((w * h) == 1)[..., None]
         raw = texels_pre[:, :, 0]
-        return jnp.where(single, raw, bilinear)
+        out = jnp.where(single, raw, bilinear)
+        return out.reshape(out.shape[0], 4 * k) if flat else out
 
     # Default path: FLAT corner-major lanes.  The round-4 device trace
     # showed the old [R, K, 4corner, 4rgba] pipeline was ~8.6 ms/iter of
@@ -143,7 +147,7 @@ def sample_many(
         axis=1,
     )  # [R, corner, K]
     texels4 = atlas.texels[idx.reshape(idx.shape[0], -1)]  # [R, 4K, 4]
-    flat = texels4.reshape(idx.shape[0], 16 * k)
+    flat0 = texels4.reshape(idx.shape[0], 16 * k)
     gam_lane = jnp.asarray(
         [
             gammas[kk] if ch < 3 else 1.0
@@ -155,7 +159,7 @@ def sample_many(
     )[None, :]
     # Bit-parity with `sample`: gamma-1 lanes bypass pow entirely (XLA's
     # f32 pow(x, 1) is not guaranteed to be the identity).
-    dec = jnp.where(gam_lane == 1.0, flat, jnp.power(flat, gam_lane))
+    dec = jnp.where(gam_lane == 1.0, flat0, jnp.power(flat0, gam_lane))
     c00 = dec[:, 0 * 4 * k : 1 * 4 * k]
     c01 = dec[:, 1 * 4 * k : 2 * 4 * k]
     c10 = dec[:, 2 * 4 * k : 3 * 4 * k]
@@ -169,8 +173,9 @@ def sample_many(
     # For w = h = 1 every corner index equals ``off`` (mod_inc wraps
     # 0 -> 0), so the pre-gamma c00 corner IS atlas.texels[off].
     single = jnp.repeat(((w * h) == 1), 4, axis=1)
-    raw = flat[:, 0 : 4 * k]
-    return jnp.where(single, raw, bilinear).reshape(idx.shape[0], k, 4)
+    raw = flat0[:, 0 : 4 * k]
+    out = jnp.where(single, raw, bilinear)
+    return out if flat else out.reshape(idx.shape[0], k, 4)
 
 
 def sample_normal(
