@@ -107,47 +107,38 @@ def sample_many(
     px1 = jnp.where(px == w - 1, 0, px + 1)  # mod_inc (src/geometry.h:521-523)
     py1 = jnp.where(py == h - 1, 0, py + 1)
 
+    # FLAT corner-major lanes.  The round-4 device trace showed the old
+    # [R, K, 4corner, 4rgba] pipeline was ~8.6 ms/iter of the engine:
+    # minor dims of 4 tile as (8, 128) vregs at 1/32 lane occupancy, and
+    # every pow/select/lerp materialized an [R,4,4,4] intermediate plus
+    # layout copies (copy.1520 alone 1.6 ms/iter).  Operating on [R, 16K]
+    # with lane = (corner*K + tex)*4 + channel keeps the corner slices
+    # contiguous ([R, 4K] each) and every elementwise op >= 50%
+    # lane-occupied.  Arithmetic per element is IDENTICAL (same
+    # pow/bypass, same lerp order), so results stay bit-equal — on both
+    # branches: the quad pool's K 16-float rows (4x fewer gather rows)
+    # are brought into the same corner-major order by one transpose.
     if atlas.quad is not None:
-        # K 16-float rows per ray instead of 4K 4-float rows (gather cost is
-        # per-row on chip): the quad pool pre-gathers the mod_inc-wrapped
-        # corners in exactly this (c00, c01, c10, c11) order.  Bit-equal.
-        rows = atlas.quad[off + px + py * w]  # [R, K, 16]
-        texels_pre = rows.reshape(rows.shape[0], k, 4, 4)
-        gam = jnp.asarray(gammas, dtype=uv.dtype)[None, :, None, None]
-        rgb = jnp.where(
-            gam == 1.0, texels_pre[..., :3],
-            jnp.power(texels_pre[..., :3], gam),
+        rows = atlas.quad[off + px + py * w]  # [R, K, 16] = (k, corner, ch)
+        flat0 = (
+            rows.reshape(rows.shape[0], k, 4, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows.shape[0], 16 * k)
         )
-        texels = jnp.concatenate([rgb, texels_pre[..., 3:]], axis=-1)
-        c00, c01, c10, c11 = (texels[:, :, i] for i in range(4))
-        bilinear = (1 - dx) * ((1 - dy) * c00 + dy * c01) + dx * (
-            (1 - dy) * c10 + dy * c11
-        )
-        single = ((w * h) == 1)[..., None]
-        raw = texels_pre[:, :, 0]
-        out = jnp.where(single, raw, bilinear)
-        return out.reshape(out.shape[0], 4 * k) if flat else out
-
-    # Default path: FLAT corner-major lanes.  The round-4 device trace
-    # showed the old [R, K, 4corner, 4rgba] pipeline was ~8.6 ms/iter of
-    # the engine: minor dims of 4 tile as (8, 128) vregs at 1/32 lane
-    # occupancy, and every pow/select/lerp materialized an [R,4,4,4]
-    # intermediate plus layout copies (copy.1520 alone 1.6 ms/iter).
-    # Operating on [R, 16K] with lane = (corner*K + tex)*4 + channel keeps
-    # the corner slices contiguous ([R, 4K] each) and every elementwise op
-    # >= 50% lane-occupied.  Arithmetic per element is IDENTICAL (same
-    # pow/bypass, same lerp order), so results stay bit-equal.
-    idx = jnp.stack(
-        [
-            off + px + py * w,
-            off + px + py1 * w,
-            off + px1 + py * w,
-            off + px1 + py1 * w,
-        ],
-        axis=1,
-    )  # [R, corner, K]
-    texels4 = atlas.texels[idx.reshape(idx.shape[0], -1)]  # [R, 4K, 4]
-    flat0 = texels4.reshape(idx.shape[0], 16 * k)
+        n = rows.shape[0]
+    else:
+        idx = jnp.stack(
+            [
+                off + px + py * w,
+                off + px + py1 * w,
+                off + px1 + py * w,
+                off + px1 + py1 * w,
+            ],
+            axis=1,
+        )  # [R, corner, K]
+        texels4 = atlas.texels[idx.reshape(idx.shape[0], -1)]  # [R, 4K, 4]
+        flat0 = texels4.reshape(idx.shape[0], 16 * k)
+        n = idx.shape[0]
     gam_lane = jnp.asarray(
         [
             gammas[kk] if ch < 3 else 1.0
@@ -175,7 +166,7 @@ def sample_many(
     single = jnp.repeat(((w * h) == 1), 4, axis=1)
     raw = flat0[:, 0 : 4 * k]
     out = jnp.where(single, raw, bilinear)
-    return out if flat else out.reshape(idx.shape[0], k, 4)
+    return out if flat else out.reshape(n, k, 4)
 
 
 def sample_normal(
