@@ -93,6 +93,88 @@ def main() -> int:
 
     timeit("argsort_plus_permute_all", loop_permute, keys, *vec3s, *ints)
 
+    # --- round-4b variants: can the 3.7 ms/iter carry permute be bought
+    # cheaper?  Same forcing discipline (position-weighted sums). ---
+
+    def loop_permute_vec3s(kk, v0, v1, v2, v3):
+        def body(i, acc):
+            p = jnp.argsort(kk + i)
+            tot = jnp.zeros(())
+            for v in (v0, v1, v2, v3):
+                tot = tot + jnp.sum(v[p][:, 0] * w)
+            return acc + tot[None]
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
+
+    timeit("argsort_plus_permute_vec3s_only", loop_permute_vec3s, keys, *vec3s)
+
+    def loop_permute_ints(kk, i0, i1, i2, i3, i4, i5):
+        def body(i, acc):
+            p = jnp.argsort(kk + i)
+            tot = jnp.zeros(())
+            for x in (i0, i1, i2, i3, i4, i5):
+                tot = tot + jnp.sum(x[p].astype(jnp.float32) * w)
+            return acc + tot[None]
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
+
+    timeit("argsort_plus_permute_ints_only", loop_permute_ints, keys, *ints)
+
+    # Packed: concatenate every carry into ONE [R, 18] f32 (ints bitcast),
+    # permute once, split back — prices pack + 1 wide-row gather + unpack
+    # against 10 narrow gathers (the flat-texture lesson: wide contiguous
+    # rows gather at far better lane occupancy than minor-dim-3 arrays).
+    def loop_permute_packed(kk, v0, v1, v2, v3, i0, i1, i2, i3, i4, i5):
+        ivals = (i0, i1, i2, i3, i4, i5)
+
+        def body(i, acc):
+            p = jnp.argsort(kk + i)
+            packed = jnp.concatenate(
+                [v0, v1, v2, v3]
+                + [jax.lax.bitcast_convert_type(x, jnp.float32)[:, None]
+                   for x in ivals],
+                axis=1,
+            )
+            g = packed[p]
+            tot = jnp.zeros(())
+            for j in range(4):
+                tot = tot + jnp.sum(g[:, 3 * j] * w)
+            for j in range(6):
+                col = jax.lax.bitcast_convert_type(g[:, 12 + j], jnp.int32)
+                tot = tot + jnp.sum(col.astype(jnp.float32) * w)
+            return acc + tot[None]
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
+
+    timeit("argsort_plus_permute_packed18", loop_permute_packed,
+           keys, *vec3s, *ints)
+
+    # Min-IO: sort only the intersector's inputs (o, d, one mask), run a
+    # stand-in kernel, inverse-gather 4 per-ray outputs back to lane order —
+    # models a "shade unsorted" engine where the other 7 carries never move.
+    def loop_permute_minio(kk, v0, v1, i0):
+        iota_r = jnp.arange(r, dtype=jnp.int32)
+
+        def body(i, acc):
+            p = jnp.argsort(kk + i)
+            so, sd = v0[p], v1[p]
+            smask = i0[p]
+            # stand-in intersect outputs (4 per-ray columns)
+            t = so[:, 0] * sd[:, 0] + smask.astype(jnp.float32)
+            tri = (smask * 3) % 7919
+            u_ = so[:, 1] * 0.5
+            v_ = sd[:, 1] * 0.5
+            inv = jnp.zeros((r,), jnp.int32).at[p].set(iota_r)
+            tot = (jnp.sum(t[inv] * w)
+                   + jnp.sum(tri[inv].astype(jnp.float32) * w)
+                   + jnp.sum(u_[inv] * w) + jnp.sum(v_[inv] * w))
+            return acc + tot[None]
+
+        return jax.lax.fori_loop(0, k_iter, body, jnp.zeros((1,)))
+
+    timeit("argsort_plus_permute_minio", loop_permute_minio,
+           keys, vec3s[0], vec3s[1], ints[0])
+
     def loop_cond(v):
         def cond(st):
             i, x = st
