@@ -327,3 +327,70 @@ def test_unknown_sort_key_rejected(tmp_path):
     scene = dataclasses.replace(scene, camera=scene.camera.with_dims(64, 64))
     with pytest.raises(ValueError, match="unknown sort_key"):
         render(scene, spp=1, seed=0, config=RenderConfig(sort_key="taget"))
+
+
+def test_packed_permute_helper_bit_exact():
+    """The packed carry permutation (two typed blocks, one wide-row gather
+    each) must be bit-for-bit the same data movement as the per-array takes
+    — for f32 vec3s and int32/bool scalars alike, under jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.models.pathtracer import _permute_carries
+
+    r = 4096
+    ks = jax.random.split(jax.random.key(7), 5)
+    vec3s = tuple(jax.random.uniform(k, (r, 3), jnp.float32) for k in ks[:4])
+    scalars = (
+        jax.random.randint(ks[4], (r,), -(2**30), 2**30, jnp.int32),
+        jnp.arange(r, dtype=jnp.int32) % 7 == 0,  # bool lane
+        jnp.full((r,), -1, jnp.int32),
+    )
+    perm = jax.random.permutation(ks[0], r)
+
+    @jax.jit
+    def both(perm, vec3s, scalars):
+        return (_permute_carries(perm, vec3s, scalars, packed=False),
+                _permute_carries(perm, vec3s, scalars, packed=True))
+
+    (va, sa), (vb, sb) = both(perm, vec3s, scalars)
+    for x, y in zip(va, vb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(sa, sb):
+        assert x.dtype == y.dtype
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_packed_permute_estimator_identical(tmp_path):
+    """tuning.packed_permute=1 rides every per-bounce carry through one
+    wide f32 row block + one int32 block (single gathers) instead of 10
+    narrow takes.  The movement itself is bit-exact (test above), but the
+    packed layout changes XLA's fusion of the *producing* ops, so whole
+    renders differ by fp-noise-level reassociation (ulp diffs that can flip
+    an RR coin on isolated lanes).  Contract: the overwhelming majority of
+    pixels bit-equal, the estimator mean unchanged within MC tolerance —
+    in both the persistent (compaction) and scan engines."""
+    from tpu_pathtracer.config import IntersectTuning
+    from tpu_pathtracer.utils.testscenes import make_sphere_field_gltf
+
+    p = make_sphere_field_gltf(
+        str(tmp_path / "field.gltf"), n_spheres=4, subdiv=2
+    )
+    scene = parse_gltf_scene(p, 2.0)
+    scene = dataclasses.replace(
+        scene, camera=scene.camera.with_dims(64, 32), ray_depth=3
+    )
+    assert scene.capacity > 1024  # the sorted branch must engage
+    for compaction in (True, False):
+        base = RenderConfig(compaction=compaction)
+        packed = RenderConfig(
+            compaction=compaction,
+            tuning=IntersectTuning(packed_permute=1),
+        )
+        a = render(scene, spp=2, seed=5, config=base)
+        b = render(scene, spp=2, seed=5, config=packed)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert a.max() > 0.01
+        # Pure-fp-noise divergence: isolated RR-flipped paths only.
+        assert np.mean(a != b) < 0.05, np.mean(a != b)
+        assert abs(float(a.mean()) - float(b.mean())) < 0.02 * float(a.mean())

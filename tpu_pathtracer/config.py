@@ -34,6 +34,7 @@ _TUNING_ENV = {
     "chunk_tris": "TPU_PT_CHUNK_TRIS",
     "build": "TPU_PT_BUILD",
     "quad_max": "TPU_PT_QUAD_MAX",
+    "packed_permute": "TPU_PT_PACKED_PERMUTE",
 }
 
 
@@ -92,6 +93,15 @@ class IntersectTuning:
     build: str = "sah"
     # Corner-quad texture pool texel cap (0 = off, the measured default).
     quad_max: int = 0
+    # Per-bounce carry permutation form: 0 = one take per carry array,
+    # 1 = pack the carries into one wide f32 block + one int32 block and
+    # gather each once (the flat-texture lesson applied to the sort:
+    # minor-dim-3 row gathers run at ~1/32 lane occupancy; on chip the
+    # packed form is ~0.14 vs ~3.7 ms/iter at 64k rays, probe_gap_r4b).
+    # The movement is bit-exact; whole renders are estimator-identical to
+    # fp noise (the layout shifts XLA fusion of the producing ops).
+    # Default ON: bench 14.85 -> 13.92 s (+6.7%, out/campaign_r4.jsonl).
+    packed_permute: int = 1
 
     def resolve(self) -> "IntersectTuning":
         """Apply TPU_PT_* env overrides on top of the config values.

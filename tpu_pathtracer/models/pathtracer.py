@@ -139,10 +139,20 @@ def scene_closest_hit(
     )
 
 
-def _interp(vals: jnp.ndarray, beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
-    """triangle::interop (src/geometry.h:497-502): w_a = 1 - beta - gamma."""
+def _interp_flat(
+    row: jnp.ndarray, base: int, width: int,
+    beta: jnp.ndarray, gamma: jnp.ndarray,
+) -> jnp.ndarray:
+    """triangle::interop (src/geometry.h:497-502): w_a = 1 - beta - gamma,
+    over three ``width``-wide vertex slices of a packed attribute row
+    (same arithmetic, same order), without the [R, 3, w] intermediate
+    whose tiling XLA repairs with layout copies."""
     wa = (1.0 - beta - gamma)[:, None]
-    return wa * vals[:, 0] + beta[:, None] * vals[:, 1] + gamma[:, None] * vals[:, 2]
+    return (
+        wa * row[:, base:base + width]
+        + beta[:, None] * row[:, base + width:base + 2 * width]
+        + gamma[:, None] * row[:, base + 2 * width:base + 3 * width]
+    )
 
 
 def hit_info(
@@ -159,10 +169,9 @@ def hit_info(
     the TPU's weak spot, so ten array lookups became one)."""
     tri = hit.tri
     row = scene.shade_attrs[tri]  # [R, 48] — the single gather
-    v = row[:, 0:9].reshape(-1, 3, 3)
-    tri_normals = row[:, 9:18].reshape(-1, 3, 3)
-    tri_uvs = row[:, 18:24].reshape(-1, 3, 2)
-    tri_tangents = row[:, 24:33].reshape(-1, 3, 3)
+    # Consume the row as FLAT lane slices: reshaping to [R,3,3]/[R,3,2]
+    # hands XLA odd tilings ({0,2,1:T(4,128)}) it then fixes with layout
+    # copies (copy.1236/.1241, ~0.3 ms/iter in the round-4 device trace).
     base_color = row[:, 33:37]
     base_emission = row[:, 37:40]
     base_metallic = row[:, 40]
@@ -173,12 +182,12 @@ def hit_info(
     mr_tex = row[:, 45].astype(jnp.int32)
     normal_tex = row[:, 46].astype(jnp.int32)
 
-    e1 = v[:, 1] - v[:, 0]
-    e2 = v[:, 2] - v[:, 0]
+    e1 = row[:, 3:6] - row[:, 0:3]
+    e2 = row[:, 6:9] - row[:, 0:3]
     g_normal = normalize(cross(e1, e2))  # Object::base_normal
     inside = dot(g_normal, direction) > 0
 
-    smooth = normalize(_interp(tri_normals, hit.beta, hit.gamma))
+    smooth = normalize(_interp_flat(row, 9, 3, hit.beta, hit.gamma))
     smooth = where3(dot(g_normal, smooth) < 0, -smooth, smooth)
 
     # Static fast path: an atlas holding only the two builtin 1x1 textures
@@ -187,8 +196,8 @@ def hit_info(
     # sampling WHITE_TEXTURE/NORMAL_UP (src/geometry.h:601-602).
     has_textures = scene.atlas.offset.shape[0] > 2 and config.use_textures
     if has_textures:
-        uv = _interp(tri_uvs, hit.beta, hit.gamma)  # tex_coord_at
-        tangent = normalize(_interp(tri_tangents, hit.beta, hit.gamma))
+        uv = _interp_flat(row, 18, 2, hit.beta, hit.gamma)  # tex_coord_at
+        tangent = normalize(_interp_flat(row, 24, 3, hit.beta, hit.gamma))
         bitangent = cross(smooth, tangent)
         # All four material textures sample the same uv: ONE fused gather
         # for the 16 corner texels (ops/texture.sample_many).
@@ -287,9 +296,13 @@ def bounce_step(
             n_lights > 0
         )
         li = sampling.pick_uniform(draws[7], n_lights)
-        lv = lights.verts[li]  # [R, 3, 3]
+        # Gather the picked light's verts as ONE flat 9-float row: the
+        # [L,3,3]-table gather produced a {2,1,0:T(4,128)} result XLA then
+        # re-tiled (fusion.623 + copy.1237, ~0.9 ms/iter in the round-4
+        # device trace).  The [L,9] view is loop-invariant (hoisted).
+        lv = lights.verts.reshape(-1, 9)[li]  # [R, 9]
         light_dir = sampling.light_triangle_sample(
-            pos, lv[:, 0], lv[:, 1], lv[:, 2], draws[8], draws[9]
+            pos, lv[:, 0:3], lv[:, 3:6], lv[:, 6:9], draws[8], draws[9]
         )
         mix_dir = where3(pick_light, light_dir, cos_dir)
     else:
@@ -359,6 +372,37 @@ def bounce_step(
     chunk_tris = scene.chunk_woop.shape[-1]
     hint = jnp.where(moved, hit.tri // chunk_tris, -1)
     return o, d, throughput, radiance, alive, hint
+
+
+def _permute_carries(perm, vec3s, scalars, packed: bool):
+    """Apply the per-bounce sort permutation to the engine's carry bundle.
+
+    packed=False: one ``take`` per carry array (10 gathers of minor-dim-3 /
+    minor-dim-1 arrays).  packed=True: the carries ride two typed blocks
+    (f32 [R, 3V] + int32 [R, S]) so the permutation is two wide-row
+    gathers (the round-4 flat-texture lesson applied to the sort: on chip
+    ~0.14 vs ~3.7 ms/iter at 64k rays, out/probe_gap_r4b.json).  The
+    movement itself is bit-exact (pinned by test); whole renders under
+    packed=1 are estimator-identical to fp noise — the block layout shifts
+    XLA's fusion of the *producing* ops, which can move an ulp and flip an
+    RR coin on isolated lanes.  Perf knob ``IntersectTuning.packed_permute``.
+    Returns (vec3s, scalars) in the input order."""
+    if not packed:
+        return ([v[perm] for v in vec3s], [x[perm] for x in scalars])
+    # Two typed blocks (f32 [R, 3V] + int32 [R, S]) instead of f32 bitcasts:
+    # int bit patterns read as f32 are denormals/NaNs, which a fused CPU
+    # kernel may canonicalize — same-type packing is canonicalization-proof.
+    fblock = jnp.concatenate(list(vec3s), axis=1)[perm]
+    iblock = jnp.concatenate(
+        [(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)[:, None]
+         for x in scalars], axis=1,
+    )[perm]
+    out_v = [fblock[:, 3 * i:3 * i + 3] for i in range(len(vec3s))]
+    out_s = [
+        (iblock[:, j] != 0) if x.dtype == jnp.bool_ else iblock[:, j]
+        for j, x in enumerate(scalars)
+    ]
+    return out_v, out_s
 
 
 def _make_sort_key(scene: TriangleScene, config: RenderConfig, r: int):
@@ -456,9 +500,12 @@ def trace(
         o, d, throughput, radiance, alive, pids, slot, hint = carry
         if sort_rays:
             perm = jnp.argsort(sort_key(o, d, alive, hint))
-            o, d, throughput, radiance, alive, pids, slot, hint = (
-                o[perm], d[perm], throughput[perm], radiance[perm],
-                alive[perm], pids[perm], slot[perm], hint[perm],
+            (o, d, throughput, radiance), (alive, pids, slot, hint) = (
+                _permute_carries(
+                    perm, (o, d, throughput, radiance),
+                    (alive, pids, slot, hint),
+                    bool(config.tuning.resolve().packed_permute),
+                )
             )
         draws = lane_uniforms(key, sample, bounce_idx, pids, _DRAWS)
         o, d, throughput, radiance, alive, hint = bounce_step(
@@ -665,11 +712,11 @@ def persistent_accum(
 
         if sort_rays:
             perm = jnp.argsort(sort_key(o, d, alive, hint))
-            (o, d, throughput, radiance, alive, active, slot, sample, depth,
-             hint) = (
-                o[perm], d[perm], throughput[perm], radiance[perm],
-                alive[perm], active[perm], slot[perm], sample[perm],
-                depth[perm], hint[perm],
+            ((o, d, throughput, radiance),
+             (alive, active, slot, sample, depth, hint)) = _permute_carries(
+                perm, (o, d, throughput, radiance),
+                (alive, active, slot, sample, depth, hint),
+                bool(config.tuning.resolve().packed_permute),
             )
 
         n_bounce = st["n_bounce"] + jnp.sum(alive.astype(jnp.int32))
