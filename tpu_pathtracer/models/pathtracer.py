@@ -193,33 +193,64 @@ def hit_info(
     # Static fast path: an atlas holding only the two builtin 1x1 textures
     # (white + flat normal) means every lookup is the identity — skip the
     # 16 row-gathers of bilinear fetching entirely.  Exactly equivalent to
-    # sampling WHITE_TEXTURE/NORMAL_UP (src/geometry.h:601-602).
+    # sampling WHITE_TEXTURE/NORMAL_UP (src/geometry.h:601-602).  The same
+    # identity argument applies PER SLOT (scene.tex_slots): a slot every
+    # material maps to the builtin is dropped from the fetch, shrinking the
+    # corner gather from 4K to 4·(used slots) rows per ray — e.g. scenes
+    # without emissive textures fetch 12 corners, not 16.
     has_textures = scene.atlas.offset.shape[0] > 2 and config.use_textures
-    if has_textures:
+    use_c, use_e, use_m, use_n = (
+        scene.tex_slots if has_textures else (False,) * 4
+    )
+    fetch = []  # (per-ray atlas ids, gamma) per USED slot, fetch order
+    if use_c:
+        fetch.append((color_tex, 2.2))
+    if use_e:
+        fetch.append((emissive_tex, 2.2))
+    if use_m:
+        fetch.append((mr_tex, 1.0))
+    if use_n:
+        fetch.append((normal_tex, 1.0))
+    if fetch:
         uv = _interp_flat(row, 18, 2, hit.beta, hit.gamma)  # tex_coord_at
-        tangent = normalize(_interp_flat(row, 24, 3, hit.beta, hit.gamma))
-        bitangent = cross(smooth, tangent)
-        # All four material textures sample the same uv: ONE fused gather
-        # for the 16 corner texels (ops/texture.sample_many).
-        # flat=True: lane-sliced [R, 16] result skips the [R,K,4] output
-        # relayout (0.71 ms/iter in the round-4 device trace).
+        # The used slots sample the same uv: ONE fused gather for the
+        # 4K corner texels (ops/texture.sample_many).  flat=True:
+        # lane-sliced [R, 16K] result skips the [R,K,4] output relayout
+        # (0.71 ms/iter in the round-4 device trace).
         fetched = texture.sample_many(
             scene.atlas,
-            jnp.stack([color_tex, emissive_tex, mr_tex, normal_tex], axis=1),
+            jnp.stack([ids for ids, _ in fetch], axis=1),
             uv,
-            (2.2, 2.2, 1.0, 1.0),
+            tuple(g for _, g in fetch),
             flat=True,
         )
-        normal_loc = normalize(fetched[:, 12:15] * 2.0 - 1.0)  # sample_normal
+        at = {}  # slot -> first output lane (4 channels per used slot)
+        lane = 0
+        for flag, name in ((use_c, "c"), (use_e, "e"), (use_m, "m"),
+                           (use_n, "n")):
+            if flag:
+                at[name] = lane
+                lane += 4
+    if use_n:
+        tangent = normalize(_interp_flat(row, 24, 3, hit.beta, hit.gamma))
+        bitangent = cross(smooth, tangent)
+        j = at["n"]
+        normal_loc = normalize(
+            fetched[:, j:j + 3] * 2.0 - 1.0
+        )  # sample_normal
         shading = normalize(frame_apply(normal_loc, tangent, bitangent, smooth))
-        color = base_color * fetched[:, 0:4]
-        emission = base_emission * fetched[:, 4:7]
-        metallic = base_metallic * fetched[:, 10]  # mr B ch (geometry.h:625)
-        roughness = base_roughness * fetched[:, 9]  # mr G channel
     else:
         shading = smooth
-        color = base_color
-        emission = base_emission
+    color = base_color * fetched[:, at["c"]:at["c"] + 4] if use_c else base_color
+    emission = (
+        base_emission * fetched[:, at["e"]:at["e"] + 3] if use_e
+        else base_emission
+    )
+    if use_m:
+        j = at["m"]
+        metallic = base_metallic * fetched[:, j + 2]  # mr B ch (geometry.h:625)
+        roughness = base_roughness * fetched[:, j + 1]  # mr G channel
+    else:
         metallic = base_metallic
         roughness = base_roughness
 

@@ -1396,15 +1396,39 @@ def closest_hit_chunks(
     hit = jnp.isfinite(t_best)
     # Winner barycentric recompute (same epilogue as the dense path).
     tri_safe = jnp.where(hit, tri, 0)
-    cols = tri_safe[:, None] * 3 + jnp.arange(3)[None, :]
-    w = jnp.moveaxis(woop_cols[:, cols], 0, 1)  # [R, 4, 3]
     o1 = rays[:, 0:4]
     d0 = rays[:, 4:8]
-    p = jnp.einsum("rk,rkj->rj", o1, w, precision=_PRECISION)
-    q = jnp.einsum("rk,rkj->rj", d0, w, precision=_PRECISION)
-    t_r = -p[..., 2] / q[..., 2]
-    beta = p[..., 0] + t_r * q[..., 0]
-    gamma = p[..., 1] + t_r * q[..., 1]
+    n3 = woop_cols.shape[1]
+    if n3 <= 3 * 4_194_304:
+        # Row-major winner gather: the column-major [4, 3N] gather lands in
+        # a {0,1:T(4,128)} result XLA then re-tiles (fusion.602 +
+        # reshape.2030 = 1.28 ms/iter in the round-4 device trace).  The
+        # [N, 12] view (rows[t, 4j+k] = cols[k, 3t+j]) is loop-invariant —
+        # XLA hoists the transpose out of the bounce loop, one pass per
+        # dispatch — and the per-ray fetch becomes ONE wide row gather.
+        # Size-gated: above ~4M triangles the hoisted copy's HBM footprint
+        # (48 B/tri) outweighs the epilogue's ~1 ms/iter.
+        rows12 = (
+            woop_cols.reshape(4, n3 // 3, 3)
+            .transpose(1, 2, 0)
+            .reshape(n3 // 3, 12)
+        )
+        wr = rows12[tri_safe]  # [R, 12]
+
+        def _dotw(vec, j):
+            return jnp.sum(vec * wr[:, 4 * j:4 * j + 4], axis=1)
+
+        t_r = -_dotw(o1, 2) / _dotw(d0, 2)
+        beta = _dotw(o1, 0) + t_r * _dotw(d0, 0)
+        gamma = _dotw(o1, 1) + t_r * _dotw(d0, 1)
+    else:
+        cols = tri_safe[:, None] * 3 + jnp.arange(3)[None, :]
+        w = jnp.moveaxis(woop_cols[:, cols], 0, 1)  # [R, 4, 3]
+        p = jnp.einsum("rk,rkj->rj", o1, w, precision=_PRECISION)
+        q = jnp.einsum("rk,rkj->rj", d0, w, precision=_PRECISION)
+        t_r = -p[..., 2] / q[..., 2]
+        beta = p[..., 0] + t_r * q[..., 0]
+        gamma = p[..., 1] + t_r * q[..., 1]
     return Hit(
         t=jnp.where(hit, t_best, jnp.inf),
         tri=tri_safe,

@@ -621,4 +621,10 @@ def _pack_triangle_scene(
         ray_depth=config.default_ray_depth,
         samples=1,
         has_env=env_tex != T.TEX_WHITE,
+        tex_slots=(
+            bool((mats[:n, 10] != T.TEX_WHITE).any()),
+            bool((mats[:n, 11] != T.TEX_WHITE).any()),
+            bool((mats[:n, 12] != T.TEX_WHITE).any()),
+            bool((mats[:n, 13] != T.TEX_NORMAL_UP).any()),
+        ),
     )

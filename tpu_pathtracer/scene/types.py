@@ -249,6 +249,12 @@ class TriangleScene:
     # pay the equirect bilinear gather every bounce just to sample the 1x1
     # white default (bg_at with WHITE_TEXTURE, src/scene.h:83-89).
     has_env: bool = static_field(default=False)
+    # Static per-slot "any material maps this slot to a real texture" bits,
+    # order (color, emissive, mr, normal).  A slot that is builtin-only
+    # (WHITE/NORMAL_UP on every triangle) is dropped from the shade-stage
+    # corner fetch entirely — same identity argument as the all-builtin
+    # fast path (src/geometry.h:601-602), applied per texture slot.
+    tex_slots: tuple = static_field(default=(True, True, True, True))
 
     @property
     def capacity(self) -> int:
