@@ -128,6 +128,7 @@ def scene_closest_hit(
             min_dst,
             ray_tile=tile,
             tuning=tuning,
+            woop_rows=scene.woop_rows,
         )
     return closest_hit_leaves(
         origin,

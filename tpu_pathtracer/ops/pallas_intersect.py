@@ -887,6 +887,9 @@ def closest_hit_chunks(
     pass1_cap: int | None = None,  # near-pass worklist slots (default: formula)
     tuning: IntersectTuning | None = None,  # perf knobs (None = defaults;
     #   TPU_PT_* env vars override either way, as the probe shim)
+    woop_rows: jnp.ndarray | None = None,  # [N, 12] precomputed row-major
+    #   view of woop_cols (scene.types.TriangleScene.woop_rows): skips the
+    #   in-loop reshape/transpose the epilogue otherwise pays every bounce
 ) -> Hit:
     tuning = (tuning or IntersectTuning()).resolve()
     r = origin.shape[0]
@@ -1399,7 +1402,7 @@ def closest_hit_chunks(
     o1 = rays[:, 0:4]
     d0 = rays[:, 4:8]
     n3 = woop_cols.shape[1]
-    if n3 <= 3 * 4_194_304:
+    if woop_rows is not None or n3 <= 3 * 4_194_304:
         # Row-major winner gather: the column-major [4, 3N] gather lands in
         # a {0,1:T(4,128)} result XLA then re-tiles (fusion.602 +
         # reshape.2030 = 1.28 ms/iter in the round-4 device trace).  The
@@ -1409,7 +1412,9 @@ def closest_hit_chunks(
         # Size-gated: above ~4M triangles the hoisted copy's HBM footprint
         # (48 B/tri) outweighs the epilogue's ~1 ms/iter.
         rows12 = (
-            woop_cols.reshape(4, n3 // 3, 3)
+            woop_rows
+            if woop_rows is not None
+            else woop_cols.reshape(4, n3 // 3, 3)
             .transpose(1, 2, 0)
             .reshape(n3 // 3, 12)
         )

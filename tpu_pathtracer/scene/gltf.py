@@ -577,6 +577,16 @@ def _pack_triangle_scene(
     # above (the SAH build aligns its treelet cuts to the same width).
     cmin, cmax = chunk_aabbs(lmin, lmax, chunk_tris // LEAF_SIZE)
     cw = build_chunk_woop(woop_cols, chunk_tris)
+    # Row-major [N, 12] epilogue view (types.TriangleScene.woop_rows): built
+    # once here so the intersector's winner gather never re-derives it
+    # inside the bounce loop.  Same size gate as the epilogue's fallback.
+    woop_rows = (
+        np.ascontiguousarray(
+            woop_cols.reshape(4, cap, 3).transpose(1, 2, 0).reshape(cap, 12)
+        )
+        if cap <= 4_194_304
+        else None
+    )
 
     shade_attrs = np.zeros((cap, 48), dtype=np.float32)
     shade_attrs[:, 0:9] = verts.reshape(cap, 9)
@@ -597,6 +607,7 @@ def _pack_triangle_scene(
         tangents=jnp.asarray(tangents),
         valid=jnp.asarray(valid),
         woop=jnp.asarray(woop_cols),
+        woop_rows=(None if woop_rows is None else jnp.asarray(woop_rows)),
         leaf_aabb_min=jnp.asarray(lmin),
         leaf_aabb_max=jnp.asarray(lmax),
         leaf_woop=jnp.asarray(lw),

@@ -242,6 +242,16 @@ class TriangleScene:
     bg_color: jnp.ndarray  # [3]
     env_tex: jnp.ndarray  # [] int32 atlas id (TEX_WHITE when no env map)
 
+    # Row-major [N, 12] view of the Woop transforms
+    # (woop_rows[t, 4j+k] = woop[k, 3t+j]), precomputed at pack time for the
+    # intersector's winner-barycentric epilogue: the round-5 device trace
+    # showed XLA re-derives this view INSIDE the bounce loop (reshape.2171 +
+    # copy.1295/.1296, ~1.5 ms/iter at 218k tris) because the while body
+    # receives woop as sliced operands it will not hoist through.  Loaders
+    # leave it None above ~4M triangles (48 B/tri of extra HBM; the epilogue
+    # then falls back to the in-loop column gather).
+    woop_rows: Optional[jnp.ndarray] = None  # [N, 12] float32
+
     camera: Camera = None  # pytree child: camera moves don't re-jit
     ray_depth: int = static_field(default=8)
     samples: int = static_field(default=1)
