@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""RMSE-vs-spp A/B for RenderConfig.jitter = uniform vs sobol (VERDICT r3
-stretch #8 done-bar).  Renders the Cornell fixture at several spp with each
-jitter and reports linear-HDR RMSE against a 512-spp uniform reference.
-Camera jitter only affects the anti-aliasing integral, so the win
-concentrates on edges; RMSE still drops measurably at every spp.
+"""RMSE-vs-spp A/B for the low-discrepancy sampling stack (VERDICT r3
+stretch #8 + r4 #6 done-bars): jitter = uniform | sobol (camera pair)
+crossed with lowdisc = off | sobol (per-bounce VNDF + light-point pairs).
+Renders the Cornell fixture at several spp per arm and reports linear-HDR
+RMSE against a high-spp uniform reference.  Camera jitter concentrates its
+win on edges (anti-aliasing integral); the bounce pairs stratify the
+estimator's interior variance, so the full stack compounds.
 Writes out/sobol_ab.json.  Env: AB_SIZE (default 64), AB_REF_SPP (512),
 AB_SPP (comma list, default 4,16,64).
 """
@@ -35,15 +37,21 @@ def main() -> int:
 
     ref = render(s, spp=ref_spp, seed=0,
                  config=RenderConfig(spp_per_pass=64))
+    arms = {
+        "uniform": RenderConfig(),
+        "sobol_cam": RenderConfig(jitter="sobol"),
+        "sobol_bounce": RenderConfig(lowdisc="sobol"),
+        "sobol_full": RenderConfig(jitter="sobol", lowdisc="sobol"),
+    }
     out = {"size": size, "ref_spp": ref_spp, "rows": []}
     for spp in spps:
         row = {"spp": spp}
-        for kind in ("uniform", "sobol"):
-            img = render(
-                s, spp=spp, seed=1, config=RenderConfig(jitter=kind)
-            )
-            row[kind] = float(np.sqrt(np.mean((img - ref) ** 2)))
-        row["ratio"] = round(row["uniform"] / row["sobol"], 3)
+        for name, cfg in arms.items():
+            img = render(s, spp=spp, seed=1, config=cfg)
+            row[name] = float(np.sqrt(np.mean((img - ref) ** 2)))
+        row["ratio_cam"] = round(row["uniform"] / row["sobol_cam"], 3)
+        row["ratio_bounce"] = round(row["uniform"] / row["sobol_bounce"], 3)
+        row["ratio_full"] = round(row["uniform"] / row["sobol_full"], 3)
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
     os.makedirs("out", exist_ok=True)

@@ -87,6 +87,8 @@ _SLOW_TESTS = {
     "test_sample_many_matches_individual_samples",
     "test_leaf_traversal_matches_dense",
     "test_leaf_traversal_small_k_forces_multiround",
+    "test_maximal_asset_mean_parity",
+    "test_lowdisc_sobol_unbiased_and_quieter",
 }
 
 

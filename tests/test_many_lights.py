@@ -172,3 +172,83 @@ def test_clustered_pdf_windowed_matches_single(monkeypatch):
     pi.light_pdf_sum_chunks.clear_cache()
     assert (one > 0).sum() > 10
     np.testing.assert_array_equal(one, many)
+
+
+def test_flat_pdf_matches_dense_oracle():
+    """light_pdf_sum_flat (the lane-major small-L form bounce_step uses for
+    <= 4 clusters) equals the Cramer dense oracle on the SAME light set —
+    random lights, random rays, count below capacity so padded slots must
+    contribute exactly zero."""
+    from tpu_pathtracer.ops.intersect import light_pdf_sum_flat
+    from tpu_pathtracer.scene.accel import light_clusters
+
+    rng = np.random.default_rng(7)
+    L, R = 37, 512
+    a = rng.uniform(-5, 5, (L, 1, 3))
+    verts = np.concatenate([a, a + rng.uniform(-1, 1, (L, 2, 3))], axis=1)
+    count = 31  # below capacity: rows [31, 37) must be ignored
+    e1, e2 = verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0]
+    n = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(n, axis=-1)
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    o = rng.uniform(-6, 6, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3))
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    cl_min, cl_max, cl_woop, cl_k = light_clusters(verts[:count], count)
+    got = np.asarray(
+        light_pdf_sum_flat(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(cl_woop),
+            jnp.asarray(cl_k), jnp.asarray(count, jnp.int32), 1e-4,
+        )
+    )
+    want = np.asarray(
+        light_pdf_sum(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(verts[:count], jnp.float32),
+            jnp.asarray(n[:count], jnp.float32),
+            jnp.asarray(area[:count], jnp.float32),
+            jnp.asarray(count, jnp.int32), 1e-4,
+        )
+    )
+    assert (want > 0).sum() > 10
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_flat_pdf_render_matches_cramer_dense(tmp_path):
+    """Estimator-level pin: a small-light-count render through the flat
+    cluster path agrees with the Cramer dense path at fp-noise scale (the
+    two compute the same pdf in different algebra; only ulps move)."""
+    import tpu_pathtracer.models.pathtracer as pt
+    from tpu_pathtracer.ops.intersect import light_pdf_sum as dense_fn
+    from tpu_pathtracer.utils.testscenes import make_cornell_gltf
+
+    p = make_cornell_gltf(str(tmp_path / "c.gltf"))
+    scene = parse_gltf_scene(p, 1.0)
+    scene = dataclasses.replace(scene, camera=scene.camera.with_dims(24, 24))
+    a = render(scene, spp=16, seed=4)
+
+    # Force the Cramer path by monkeypatching the flat form to the oracle.
+    import jax
+
+    orig = pt.light_pdf_sum_flat
+    pt.light_pdf_sum_flat = (
+        lambda pos, nd, cw, ck, cnt, eps: dense_fn(
+            pos, nd, scene.lights.verts, scene.lights.normal,
+            scene.lights.area, cnt, eps,
+        )
+    )
+    # The engine jit caches on (shapes, static config) — clear so the
+    # monkeypatched pdf is actually retraced into the b render.
+    jax.clear_caches()
+    try:
+        b = render(scene, spp=16, seed=4)
+    finally:
+        pt.light_pdf_sum_flat = orig
+        jax.clear_caches()
+    assert np.abs(a - b).max() > 0  # the patch DID change the program
+    # Identical draws; only the pdf algebra differs -> images agree to
+    # fp noise (RR-coin flips on exact thresholds would show up as large
+    # isolated diffs; none occur on this fixture).
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
+    assert np.abs(a - b).mean() < 1e-4

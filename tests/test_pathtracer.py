@@ -394,3 +394,37 @@ def test_packed_permute_estimator_identical(tmp_path):
         # Pure-fp-noise divergence: isolated RR-flipped paths only.
         assert np.mean(a != b) < 0.05, np.mean(a != b)
         assert abs(float(a.mean()) - float(b.mean())) < 0.02 * float(a.mean())
+
+
+def test_lowdisc_sobol_unbiased_and_quieter(tmp_path):
+    """lowdisc='sobol' (Owen-Sobol VNDF + light-point pairs, VERDICT r4 #6)
+    keeps the estimator mean (unbiased: Owen scrambling preserves the
+    uniform marginal of every draw) while reducing per-pixel variance on a
+    light-sampling-dominated scene.  Both engines dispatch it identically
+    (bounce_draws is shared)."""
+    scene = _load(make_cornell_gltf, tmp_path, 24, 24)
+    base = RenderConfig()
+    son = dataclasses.replace(base, lowdisc="sobol")
+
+    # Unbiasedness: image means agree at MC-noise scale.
+    a = render(scene, spp=64, seed=1, config=base)
+    b = render(scene, spp=64, seed=1, config=son)
+    assert abs(a.mean() - b.mean()) < 0.02, (a.mean(), b.mean())
+
+    # Variance: per-pixel MSE against a high-spp converged reference drops.
+    ref = render(scene, spp=1024, seed=99, config=base)
+    mse_u = float(((a - ref) ** 2).mean())
+    mse_s = float(((b - ref) ** 2).mean())
+    assert mse_s < mse_u, (mse_s, mse_u)
+
+
+def test_lowdisc_sobol_engines_agree(tmp_path):
+    scene = _load(make_cornell_gltf, tmp_path, 16, 16)
+    son = RenderConfig(lowdisc="sobol")
+    a = render(
+        scene, spp=3, seed=2, config=dataclasses.replace(son, compaction=False)
+    )
+    b = render(
+        scene, spp=3, seed=2, config=dataclasses.replace(son, compaction=True)
+    )
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)

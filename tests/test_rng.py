@@ -190,3 +190,88 @@ def test_sobol_jitter_reduces_pixel_variance():
     var_u = np.var(mean_f("uniform"))
     var_s = np.var(mean_f("sobol"))
     assert var_s * 4 < var_u, (var_s, var_u)
+
+
+def test_sobol_pair_net_property():
+    """sobol_owen_pair (the bounce-draw extension) keeps the (0,2)-net
+    property per (pixel, depth, tag): every dyadic elementary interval of
+    area 1/n holds exactly one of n = 2^m consecutive samples."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.ops.rng import (
+        SOBOL_TAG_LIGHT,
+        SOBOL_TAG_VNDF,
+        sobol_owen_pair,
+    )
+
+    key = jax.random.key(11)
+    pix = jnp.asarray([0, 777], jnp.int32)
+    n = 64
+    for tag in (SOBOL_TAG_VNDF, SOBOL_TAG_LIGHT):
+        for depth in (0, 3):
+            pts = np.stack(
+                [np.asarray(sobol_owen_pair(key, s, depth, pix, tag))
+                 for s in range(n)]
+            )  # [n, 2, P]
+            for p in range(pts.shape[-1]):
+                u, v = pts[:, 0, p], pts[:, 1, p]
+                assert ((u >= 0) & (u < 1) & (v >= 0) & (v < 1)).all()
+                for a in range(7):
+                    b = 6 - a
+                    cells = (u * (1 << a)).astype(int) * (1 << b) + (
+                        v * (1 << b)
+                    ).astype(int)
+                    counts = np.bincount(cells, minlength=n)
+                    assert (counts == 1).all(), (tag, depth, p, a, b)
+
+
+def test_sobol_pair_streams_distinct():
+    """Distinct (depth, tag) combinations draw from decorrelated scrambles
+    of the net — no stream reuse across bounces or estimator pairs."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.ops.rng import (
+        SOBOL_TAG_LIGHT,
+        SOBOL_TAG_VNDF,
+        sobol_owen_pair,
+    )
+
+    key = jax.random.key(4)
+    pix = jnp.arange(128, dtype=jnp.int32)
+    a = np.asarray(sobol_owen_pair(key, 5, 0, pix, SOBOL_TAG_VNDF))
+    b = np.asarray(sobol_owen_pair(key, 5, 1, pix, SOBOL_TAG_VNDF))
+    c = np.asarray(sobol_owen_pair(key, 5, 0, pix, SOBOL_TAG_LIGHT))
+    assert not np.allclose(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_bounce_draws_lowdisc_dispatch():
+    """lowdisc='off' is bit-identical to the plain lane stream; 'sobol'
+    replaces EXACTLY rows 2,3 (VNDF) and 8,9 (light point), leaving the six
+    other draws bit-untouched (so coins/picks keep reference parity)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    import pytest
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.models.pathtracer import bounce_draws
+    from tpu_pathtracer.ops.rng import lane_uniforms
+
+    key = jax.random.key(9)
+    pix = jnp.arange(64, dtype=jnp.int32)
+    cfg = RenderConfig()
+    off = np.asarray(bounce_draws(key, 2, 1, pix, cfg))
+    plain = np.asarray(lane_uniforms(key, 2, 1, pix, 10))
+    assert np.array_equal(off, plain)
+
+    son = np.asarray(
+        bounce_draws(key, 2, 1, pix, _dc.replace(cfg, lowdisc="sobol"))
+    )
+    same_rows = [0, 1, 4, 5, 6, 7]
+    assert np.array_equal(son[same_rows], plain[same_rows])
+    assert not np.allclose(son[2:4], plain[2:4])
+    assert not np.allclose(son[8:10], plain[8:10])
+
+    with pytest.raises(ValueError):
+        bounce_draws(key, 2, 1, pix, _dc.replace(cfg, lowdisc="bogus"))

@@ -60,6 +60,11 @@ def render_scene_file(
     env_jitter = os.environ.get("TPU_PATHTRACER_JITTER")
     if env_jitter and env_jitter != config.jitter:
         config = dataclasses.replace(config, jitter=env_jitter)
+    # TPU_PATHTRACER_LOWDISC=sobol: Owen-Sobol for the per-bounce VNDF and
+    # light-point pairs too (config.py `lowdisc`).
+    env_ld = os.environ.get("TPU_PATHTRACER_LOWDISC")
+    if env_ld and env_ld != config.lowdisc:
+        config = dataclasses.replace(config, lowdisc=env_ld)
 
     t0 = time.perf_counter()
     if scene_path.endswith(".gltf") or scene_path.endswith(".glb"):

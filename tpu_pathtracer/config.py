@@ -223,6 +223,16 @@ class RenderConfig:
     # out/).  Off by default so every reference-parity test is untouched.
     jitter: str = "uniform"
 
+    # Low-discrepancy BOUNCE draws: "sobol" replaces the two highest-variance
+    # estimator pairs per bounce — VNDF (u1, u2) and light point (u, v) —
+    # with per-(pixel, depth) Owen-scrambled (0,2)-sequences over the sample
+    # index (ops/rng.py sobol_owen_pair); the other six draws stay plain
+    # threefry uniforms.  Same counter discipline as jitter="sobol", so all
+    # reproducibility properties hold; "off" (default) reproduces the
+    # reference estimator draw-for-draw.  Compose with jitter="sobol" for
+    # the full quality stack (equal-spp RMSE A/B in out/sobol_ab.json).
+    lowdisc: str = "off"
+
     # Intersector / scene-build performance knobs (exactness-neutral; see
     # IntersectTuning).  TPU_PT_* env vars override individual fields as a
     # probe shim.

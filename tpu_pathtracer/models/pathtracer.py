@@ -33,8 +33,19 @@ import jax.numpy as jnp
 
 from ..config import IntersectTuning, RenderConfig
 from ..ops import bsdf, sampling, texture
-from ..ops.intersect import Hit, closest_hit, light_pdf_sum
-from ..ops.rng import jitter_uniforms, lane_uniforms
+from ..ops.intersect import (
+    Hit,
+    closest_hit,
+    light_pdf_sum,
+    light_pdf_sum_flat,
+)
+from ..ops.rng import (
+    SOBOL_TAG_LIGHT,
+    SOBOL_TAG_VNDF,
+    jitter_uniforms,
+    lane_uniforms,
+    sobol_owen_pair,
+)
 from ..ops.traverse import closest_hit_leaves
 from ..ops.vecmath import cross, dot, length2, normalize, frame_apply, where3
 from ..scene.types import Camera, TriangleScene
@@ -43,6 +54,32 @@ from ..scene.types import Camera, TriangleScene
 # 0 alpha coin | 1 vndf coin | 2,3 vndf | 4 mixture pick | 5,6 cosine
 # 7 light pick | 8,9 light point
 _DRAWS = 10
+
+
+def bounce_draws(
+    key: jax.Array,
+    sample,  # scalar or [R] global sample index
+    depth,  # scalar or [R] bounce index
+    pixel: jnp.ndarray,  # [R] linear pixel ids
+    config: RenderConfig,
+) -> jnp.ndarray:  # [_DRAWS, R]
+    """Per-bounce estimator draws.  config.lowdisc == "sobol" replaces the
+    two highest-variance pairs — VNDF (u1, u2) and light point (u, v) —
+    with per-(pixel, depth) Owen-scrambled (0,2)-sequences over the sample
+    index (ops/rng.py sobol_owen_pair), the bounce-draw extension of the
+    Sobol camera jitter.  Same counter discipline, so sharding / engine /
+    resume reproducibility is untouched; "off" reproduces the reference
+    estimator draw-for-draw."""
+    draws = lane_uniforms(key, sample, depth, pixel, _DRAWS)
+    if config.lowdisc == "sobol":
+        vn = sobol_owen_pair(key, sample, depth, pixel, SOBOL_TAG_VNDF)
+        li = sobol_owen_pair(key, sample, depth, pixel, SOBOL_TAG_LIGHT)
+        draws = draws.at[2:4].set(vn).at[8:10].set(li)
+    elif config.lowdisc != "off":
+        raise ValueError(
+            f"unknown lowdisc {config.lowdisc!r}: expected off | sobol"
+        )
+    return draws
 
 
 def gen_rays(
@@ -365,6 +402,15 @@ def bounce_step(
                 ray_tile=RAY_TILE if r % RAY_TILE == 0 else 256,
                 tuning=config.tuning,
             )
+        elif lights.has_clusters and lights.cluster_woop.shape[0] <= 4:
+            # Small light sets: flat lane-major Woop contraction over the
+            # packed clusters (<= 4 x [R, 128] slabs) — same value as the
+            # Cramer dense path to fp, ~4x cheaper on chip (the [R, L, 3]
+            # cross/dot intermediates tile at minor-dim-3 occupancy).
+            p_light = light_pdf_sum_flat(
+                pos, new_dir, lights.cluster_woop, lights.cluster_k,
+                lights.count, eps,
+            )
         else:
             p_light = light_pdf_sum(
                 pos, new_dir, lights.verts, lights.normal, lights.area,
@@ -539,7 +585,7 @@ def trace(
                     bool(config.tuning.resolve().packed_permute),
                 )
             )
-        draws = lane_uniforms(key, sample, bounce_idx, pids, _DRAWS)
+        draws = bounce_draws(key, sample, bounce_idx, pids, config)
         o, d, throughput, radiance, alive, hint = bounce_step(
             scene, config, o, d, throughput, radiance, alive, draws
         )
@@ -752,8 +798,8 @@ def persistent_accum(
             )
 
         n_bounce = st["n_bounce"] + jnp.sum(alive.astype(jnp.int32))
-        draws = lane_uniforms(
-            key, sample_start + sample, depth, chunk_start + slot, _DRAWS
+        draws = bounce_draws(
+            key, sample_start + sample, depth, chunk_start + slot, config
         )
         o, d, throughput, radiance, alive2, hint = bounce_step(
             scene, config, o, d, throughput, radiance, alive, draws

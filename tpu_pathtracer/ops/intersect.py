@@ -265,3 +265,54 @@ def _light_pdf_block(
     proj = dist2 / jnp.abs(dot(jnp.broadcast_to(light_normal[None], y.shape), d))
     contrib = jnp.where(ok, proj / light_area[None], 0.0)
     return jnp.sum(contrib, axis=-1)
+
+
+def light_pdf_sum_flat(
+    origin: jnp.ndarray,  # [R, 3]
+    direction: jnp.ndarray,  # [R, 3]
+    cluster_woop: jnp.ndarray,  # [C, 12, CL] (scene/accel.py light_clusters)
+    cluster_k: jnp.ndarray,  # [C, CL] = 1/(2 area^2), 0 on invalid
+    light_count: jnp.ndarray,  # [] int32
+    min_dst: float,
+) -> jnp.ndarray:  # [R] mean projection term (sum / count)
+    """Lane-major dense all-hits light pdf over the packed light clusters.
+
+    Same quantity as :func:`light_pdf_sum` (bvh_mix_dist::pdf,
+    src/raytracer.h:363-376) in the cluster kernel's algebra: the projection
+    term is ``t^2 |d|^2 k / |q_n|`` on the per-light Woop contraction
+    (ops/pallas_intersect._kernel_light_pdf_items), evaluated as flat
+    [R, CL] broadcast-FMA slabs.  The round-5 device trace showed the
+    Cramer-form dense path building [R, L, 3] cross/dot intermediates
+    (minor-dim-3 tiling, ~2 ms/iter at 8 lights); this form touches only
+    [R, CL] tensors at full lane occupancy.  Engaged by the integrator for
+    small light sets (<= 4 clusters); the Pallas worklist path covers the
+    many-light regime.  Invalid/padded lights carry NaN Woop rows (ok mask
+    False) and k = 0, so they contribute exactly 0."""
+    o, d = origin, direction
+    d2 = jnp.sum(d * d, axis=1, keepdims=True)  # [R, 1]
+    total = jnp.zeros((origin.shape[0],), jnp.float32)
+    for ci in range(cluster_woop.shape[0]):
+        w = cluster_woop[ci]  # [12, CL]
+        k = cluster_k[ci]  # [CL]
+
+        def co(r0, w=w):
+            # Operation order mirrors pallas_intersect._contract_o for fp
+            # agreement with the cluster kernel.
+            acc = o[:, 0:1] * w[r0, :][None, :] + w[r0 + 3, :][None, :]
+            acc = acc + o[:, 1:2] * w[r0 + 1, :][None, :]
+            return acc + o[:, 2:3] * w[r0 + 2, :][None, :]
+
+        def cd(r0, w=w):
+            acc = d[:, 0:1] * w[r0, :][None, :]
+            acc = acc + d[:, 1:2] * w[r0 + 1, :][None, :]
+            return acc + d[:, 2:3] * w[r0 + 2, :][None, :]
+
+        p0, p1, p2 = co(0), co(4), co(8)
+        q0, q1, q2 = cd(0), cd(4), cd(8)
+        t = -p2 / q2
+        beta = p0 + t * q0
+        gamma = p1 + t * q1
+        ok = (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1) & (t >= min_dst)
+        term = jnp.where(ok, t * t * d2 * k[None, :] / jnp.abs(q2), 0.0)
+        total = total + jnp.sum(term, axis=1)
+    return total / jnp.maximum(light_count, 1).astype(total.dtype)

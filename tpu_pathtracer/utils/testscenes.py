@@ -31,6 +31,7 @@ class GltfBuilder:
         self.cameras: List[dict] = []
         self.images: List[str] = []
         self.textures: List[dict] = []
+        self._children: set = set()  # nodes parented by add_group
 
     def add_texture(self, image_uri: str) -> int:
         """Register an image file (relative to the .gltf) as a texture."""
@@ -99,6 +100,10 @@ class GltfBuilder:
         normals: Optional[np.ndarray] = None,
         uvs: Optional[np.ndarray] = None,
         node_transform: Optional[dict] = None,
+        index_dtype: Optional[str] = None,  # force "u8" | "u16" | "u32"
+        #   (all three are legal glTF componentTypes regardless of vertex
+        #   count; the reference switches on them at src/scene.h:163-180)
+        mode: Optional[int] = None,  # primitive mode (4 tris, 5 strip)
     ) -> int:
         positions = np.asarray(positions, dtype="<f4")
         pos_acc = self._accessor(
@@ -117,19 +122,49 @@ class GltfBuilder:
             )
         if indices is not None:
             idx = np.asarray(indices)
-            if idx.max(initial=0) < 65536:
-                data, ctype = idx.astype("<u2").tobytes(), 5123
-            else:
-                data, ctype = idx.astype("<u4").tobytes(), 5125
+            if index_dtype is None:
+                index_dtype = "u2" if idx.max(initial=0) < 65536 else "u4"
+            dt = {"u8": "<u1", "u16": "<u2", "u32": "<u4",
+                  "u1": "<u1", "u2": "<u2", "u4": "<u4"}[index_dtype]
+            ctype = {"<u1": 5121, "<u2": 5123, "<u4": 5125}[dt]
             prim["indices"] = self._accessor(
-                self._push_view(data), idx.shape[0], ctype, "SCALAR"
+                self._push_view(idx.astype(dt).tobytes()), idx.shape[0],
+                ctype, "SCALAR",
             )
+        if mode is not None:
+            prim["mode"] = mode
         self.meshes.append({"primitives": [prim]})
-        node = {"mesh": len(self.meshes) - 1}
+        return self.add_node(len(self.meshes) - 1, node_transform)
+
+    def add_node(
+        self, mesh: int, node_transform: Optional[dict] = None
+    ) -> int:
+        """Instance an existing mesh under a (possibly different) transform —
+        the node-reuse shape real exporters emit (handle_node walks every
+        node referencing the mesh, src/scene.h:256-258)."""
+        node = {"mesh": mesh}
         if node_transform:
             node.update(node_transform)
         self.nodes.append(node)
         return len(self.nodes) - 1
+
+    def add_group(
+        self, children: List[int], node_transform: Optional[dict] = None
+    ) -> int:
+        """Parent the given nodes under a new (possibly transformed) group
+        node; grouped nodes leave the scene's root list, so their transforms
+        accumulate through the parent exactly as the reference's recursive
+        handle_node composes them (src/scene.h:224-230, 461-465)."""
+        node: dict = {"children": list(children)}
+        if node_transform:
+            node.update(node_transform)
+        self.nodes.append(node)
+        self._children.update(children)
+        return len(self.nodes) - 1
+
+    def mesh_of(self, node: int) -> int:
+        """Mesh index referenced by a node created with add_mesh."""
+        return self.nodes[node]["mesh"]
 
     def add_camera(self, position, yfov: float, node_transform: Optional[dict] = None) -> int:
         self.cameras.append({"perspective": {"yfov": yfov}, "type": "perspective"})
@@ -145,7 +180,8 @@ class GltfBuilder:
         root = {
             "asset": {"version": "2.0"},
             "scene": 0,
-            "scenes": [{"nodes": list(range(len(self.nodes)))}],
+            "scenes": [{"nodes": [i for i in range(len(self.nodes))
+                                  if i not in self._children]}],
             "nodes": self.nodes,
             "meshes": self.meshes,
             "materials": self.materials,
@@ -185,7 +221,8 @@ class GltfBuilder:
         root = {
             "asset": {"version": "2.0"},
             "scene": 0,
-            "scenes": [{"nodes": list(range(len(self.nodes)))}],
+            "scenes": [{"nodes": [i for i in range(len(self.nodes))
+                                  if i not in self._children]}],
             "nodes": self.nodes,
             "meshes": self.meshes,
             "materials": self.materials,
