@@ -25,13 +25,21 @@ def main() -> int:
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.models.pathtracer import render
     from tpu_pathtracer.scene.gltf import parse_gltf_scene
-    from tpu_pathtracer.utils.testscenes import make_cornell_gltf
+    from tpu_pathtracer.utils.testscenes import (
+        make_cornell_gltf,
+        make_textured_cornell_gltf,
+    )
 
     size = int(os.environ.get("AB_SIZE", "64"))
     ref_spp = int(os.environ.get("AB_REF_SPP", "512"))
     spps = [int(x) for x in os.environ.get("AB_SPP", "4,16,64").split(",")]
 
-    p = make_cornell_gltf("/tmp/sobol_ab/c.gltf")
+    # AB_SCENE=textured: the metallic/gradient-roughness Cornell — the VNDF
+    # pair only has variance to remove on glossy surfaces.
+    fixture = (make_textured_cornell_gltf
+               if os.environ.get("AB_SCENE") == "textured"
+               else make_cornell_gltf)
+    p = fixture("/tmp/sobol_ab/c.gltf")
     s = parse_gltf_scene(p, 1.0)
     s = dataclasses.replace(s, camera=s.camera.with_dims(size, size))
 
@@ -55,7 +63,10 @@ def main() -> int:
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
     os.makedirs("out", exist_ok=True)
-    with open("out/sobol_ab.json", "w") as f:
+    name = ("out/sobol_ab_textured.json"
+        if os.environ.get("AB_SCENE") == "textured"
+        else "out/sobol_ab.json")
+    with open(name, "w") as f:
         json.dump(out, f, indent=1)
     return 0
 

@@ -70,6 +70,63 @@ def where3(mask, a, b):
 
 
 # ---------------------------------------------------------------------------
+# Planar ([3, R] component-major) twins.
+#
+# The round-5 device trace showed the shade stage's [R, 3]/[R, 1] tensors
+# bouncing between XLA's transposed elementwise layouts ({0,1:T(4,128)})
+# and the row-major gather/Pallas layouts ({1,0:T(8,128)}) through ~45
+# pure layout-conversion copies (~2 ms/iter at 64k rays).  In [3, R] form
+# the ray axis is the minor (lane) dim, every elementwise op runs at full
+# lane occupancy in R/128 vregs (vs R/8 vregs at 3/128 occupancy for
+# [R, 3] row-major), and there is no transposed-layout alternative for XLA
+# to convert to and from.  Same arithmetic, same operand order per
+# component — results match the [..., 3] forms to fp associativity.
+# ---------------------------------------------------------------------------
+
+
+def pdot(a, b, keepdims: bool = False):
+    """dot over [3, R] planar vectors -> [R] (or [1, R])."""
+    return jnp.sum(a * b, axis=0, keepdims=keepdims)
+
+
+def pcross(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        axis=0,
+    )
+
+
+def plength2(a, keepdims: bool = False):
+    return jnp.sum(a * a, axis=0, keepdims=keepdims)
+
+
+def pnormalize(a):
+    return a / jnp.sqrt(plength2(a, keepdims=True))
+
+
+def preflect(normal, in_dir):
+    return in_dir - 2.0 * normal * pdot(in_dir, normal, keepdims=True)
+
+
+def pwhere(mask, a, b):
+    """Select over [3, R] vectors with an [R]-shaped bool mask."""
+    return jnp.where(mask[None, :], a, b)
+
+
+def pframe_apply(local_coords, x, y, z):
+    """transform3 over planar frames: local [3, R], basis vectors [3, R]."""
+    return (
+        local_coords[0][None, :] * x
+        + local_coords[1][None, :] * y
+        + local_coords[2][None, :] * z
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host-side (numpy) transform helpers used only by the scene loaders.
 # ---------------------------------------------------------------------------
 
