@@ -433,7 +433,10 @@ def bounce_step(
         config.min_roughness,
     )
     cos_term = jnp.maximum(0.0, dot(new_dir, info["shading_normal"]))
-    scl = f / p[:, None] * cos_term[:, None]
+    # One dense 1-D divide then a broadcast multiply: the f / p[:, None]
+    # form ran the divide on [R, 1]{1,0:T(8,128)} operands at 1/128 lane
+    # occupancy (round-5 device trace).  Same value to fp associativity.
+    scl = f * (cos_term / p)[:, None]
 
     dir_nan = jnp.any(jnp.isnan(new_dir), axis=-1)
     kill = dir_nan | (p < eps) | (length2(scl) == 0.0)
@@ -476,8 +479,14 @@ def _permute_carries(perm, vec3s, scalars, packed: bool):
          for x in scalars], axis=1,
     )[perm]
     out_v = [fblock[:, 3 * i:3 * i + 3] for i in range(len(vec3s))]
+    # Unpack the int block through ONE [S, R] transpose instead of S lazy
+    # [R, 1] column slices: the column form anchored downstream integer
+    # chains (scatter index, spawn slot) in {1,0:T(8,128)} single-lane
+    # tiling (the accumulator-index fusion alone was 0.75 ms/iter in the
+    # round-5 device trace); rows of the transposed block are dense 1-D.
+    ib_t = iblock.T  # [S, R]
     out_s = [
-        (iblock[:, j] != 0) if x.dtype == jnp.bool_ else iblock[:, j]
+        (ib_t[j] != 0) if x.dtype == jnp.bool_ else ib_t[j]
         for j, x in enumerate(scalars)
     ]
     return out_v, out_s

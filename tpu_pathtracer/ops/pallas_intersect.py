@@ -135,21 +135,28 @@ def _out_struct(shape, dtype, vma: frozenset) -> jax.ShapeDtypeStruct:
 
 
 def _activity_kernel(
-    rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref, *, min_dst, n_sub
+    rays_ref, aabb_ref, tbest_ref, *out_refs, min_dst, n_sub, want_sub
 ):
     _activity_body(
-        pl.program_id(1), rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref,
-        min_dst=min_dst, n_sub=n_sub,
+        pl.program_id(1), rays_ref, aabb_ref, tbest_ref, out_refs,
+        min_dst=min_dst, n_sub=n_sub, want_sub=want_sub,
     )
 
 
 def _activity_body(
-    i, rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref, *, min_dst, n_sub
+    i, rays_ref, aabb_ref, tbest_ref, out_refs, *, min_dst, n_sub, want_sub
 ):
     """Per-tile chunk-AABB slab test, fused in VMEM: grid step (b, i) tests
     ray tile i against chunk-column block b.  The column block is the OUTER
     grid dim so the (t_tiles, _ACT_COLS) output blocks — indexed by b alone —
     stay resident while every tile row i is written, then flush complete.
+
+    Outputs (``out_refs``, in order): optional ``sub_ref`` (present iff
+    ``want_sub``) holding per-sub-tile f32 entry minima, then ``m8_ref``
+    ([T, C] int32: bit s of chunk c's byte = sub-tile s active — the packed
+    form every downstream consumer actually wants, emitted here so the XLA
+    side never materialises the [T, 8, C] f32/int intermediates; at 16M-tri
+    scale those were ~1 GB of pure glue traffic per pass), then ``ent_ref``.
 
     sub[i*n_sub + s, c] = 1 iff any ray of SUB-TILE s of tile i enters
     chunk c's AABB *no farther than that ray's current best hit* (tbest;
@@ -206,13 +213,22 @@ def _activity_body(
             [sub_ent, jnp.full((8 - n_sub, cols), jnp.inf, jnp.float32)],
             axis=0,
         )
-    sub_ref[:] = sub_ent
+    if want_sub:
+        sub_ref, m8_ref, ent_ref = out_refs
+        sub_ref[:] = sub_ent
+    else:
+        m8_ref, ent_ref = out_refs
+    # Packed per-chunk sub-tile byte: bit s = sub-tile s active (finite
+    # entry).  Rows >= n_sub are +inf so they contribute no bits.
+    fin = jnp.isfinite(sub_ent).astype(jnp.int32)
+    weights = jax.lax.broadcasted_iota(jnp.int32, (8, cols), 0)
+    m8_ref[i, :] = jnp.sum(fin << weights, axis=0)
     ent_ref[i, :] = jnp.min(entry, axis=0)
 
 
 def _activity_kernel_gated(
-    cbits_ref, rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref, *,
-    min_dst, n_sub
+    cbits_ref, rays_ref, aabb_ref, tbest_ref, *out_refs,
+    min_dst, n_sub, want_sub
 ):
     """_activity_kernel with a prefetched coarse gate: grid step (b, i) is
     skipped outright (zero activity, inf entry) when no ray of tile i enters
@@ -227,13 +243,18 @@ def _activity_kernel_gated(
     @pl.when(bit > 0)
     def _go():
         _activity_body(
-            i, rays_ref, aabb_ref, tbest_ref, sub_ref, ent_ref,
-            min_dst=min_dst, n_sub=n_sub,
+            i, rays_ref, aabb_ref, tbest_ref, out_refs,
+            min_dst=min_dst, n_sub=n_sub, want_sub=want_sub,
         )
 
     @pl.when(bit == 0)
     def _skip():
-        sub_ref[:] = jnp.full_like(sub_ref, jnp.inf)
+        if want_sub:
+            sub_ref, m8_ref, ent_ref = out_refs
+            sub_ref[:] = jnp.full_like(sub_ref, jnp.inf)
+        else:
+            m8_ref, ent_ref = out_refs
+        m8_ref[i, :] = jnp.zeros_like(m8_ref[i, :])
         ent_ref[i, :] = jnp.full_like(ent_ref[i, :], jnp.inf)
 
 
@@ -247,10 +268,15 @@ def tile_chunk_activity(
     tbest: jnp.ndarray | None = None,  # [R] per-ray far bound (None = inf)
     coarse_bits: jnp.ndarray | None = None,  # [T, ceil(nb/32)] block gate
     n_sub: int = 1,  # sub-tiles per ray tile (sub-tile activity rows)
+    want_sub_ent: bool = False,  # also return the f32 per-sub-tile entry
+    #   minima (the cheap-recheck input) — costs an extra [T, 8, C] f32
+    #   kernel output, so only the cascade's INITIAL pass asks for it
 ):
-    """Returns (act [T, C] int32, entry [T, C] f32, sub [T, n_sub, C] 0/1,
-    sub_ent [T, n_sub, C] f32 per-sub-tile entry minima) — see
-    _activity_kernel.  act = any over sub rows; sub = isfinite(sub_ent)."""
+    """Returns (act [T, C] int32, entry [T, C] f32, m8 [T, C] int32 packed
+    per-chunk sub-tile bytes, sub_ent [T, n_sub, C] f32 or None) — see
+    _activity_kernel.  act = (m8 != 0); bit s of m8 = sub-tile s active.
+    The packing happens IN the kernel, so no [T, 8, C] intermediate ever
+    reaches XLA unless ``want_sub_ent`` explicitly asks for the f32 form."""
     r = rays.shape[0]
     c = chunk_min.shape[0]
     t_tiles = r // ray_tile
@@ -272,21 +298,22 @@ def tile_chunk_activity(
         tbest = jnp.full((r, 1), jnp.inf, jnp.float32)
     else:
         tbest = tbest.reshape(r, 1).astype(jnp.float32)
-    out_specs = [
-        pl.BlockSpec(
-            (8, _ACT_COLS), lambda b, i, *_: (i, b),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (t_tiles, _ACT_COLS), lambda b, i, *_: (0, b),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
+    tile_spec = lambda: pl.BlockSpec(
+        (t_tiles, _ACT_COLS), lambda b, i, *_: (0, b),
+        memory_space=pltpu.VMEM,
+    )
     vma = _vma_of(rays, tbest)
+    out_specs = [tile_spec(), tile_spec()]  # m8, ent
     out_shape = [
-        _out_struct((t_tiles * 8, cpad), jnp.float32, vma),
+        _out_struct((t_tiles, cpad), jnp.int32, vma),
         _out_struct((t_tiles, cpad), jnp.float32, vma),
     ]
+    if want_sub_ent:
+        out_specs.insert(0, pl.BlockSpec(
+            (8, _ACT_COLS), lambda b, i, *_: (i, b),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.insert(0, _out_struct((t_tiles * 8, cpad), jnp.float32, vma))
     in_specs = [
         pl.BlockSpec(
             (ray_tile, 8), lambda b, i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -299,8 +326,11 @@ def tile_chunk_activity(
         ),
     ]
     if coarse_bits is None:
-        sub, ent = pl.pallas_call(
-            functools.partial(_activity_kernel, min_dst=min_dst, n_sub=n_sub),
+        outs = pl.pallas_call(
+            functools.partial(
+                _activity_kernel, min_dst=min_dst, n_sub=n_sub,
+                want_sub=want_sub_ent,
+            ),
             grid=(cpad // _ACT_COLS, t_tiles),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -308,9 +338,10 @@ def tile_chunk_activity(
             interpret=interpret,
         )(rays, aabb_rows, tbest)
     else:
-        sub, ent = pl.pallas_call(
+        outs = pl.pallas_call(
             functools.partial(
-                _activity_kernel_gated, min_dst=min_dst, n_sub=n_sub
+                _activity_kernel_gated, min_dst=min_dst, n_sub=n_sub,
+                want_sub=want_sub_ent,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -321,10 +352,15 @@ def tile_chunk_activity(
             out_shape=out_shape,
             interpret=interpret,
         )(coarse_bits, rays, aabb_rows, tbest)
-    sub_ent = sub.reshape(t_tiles, 8, cpad)[:, :n_sub, :c]
-    sub = jnp.isfinite(sub_ent).astype(jnp.int32)
-    act = jnp.any(sub > 0, axis=1).astype(jnp.int32)
-    return act, ent[:, :c], sub, sub_ent
+    if want_sub_ent:
+        sub, m8, ent = outs
+        sub_ent = sub.reshape(t_tiles, 8, cpad)[:, :n_sub, :c]
+    else:
+        m8, ent = outs
+        sub_ent = None
+    m8 = m8[:, :c]
+    act = (m8 != 0).astype(jnp.int32)
+    return act, ent[:, :c], m8, sub_ent
 
 
 def super_block_bits(
@@ -521,22 +557,18 @@ def _bins_worklist(gb: jnp.ndarray, br: int, p_cap: int):
     return r_pad, jnp.maximum(bg, 0), n_blocks, overflow
 
 
-def _pack_group_masks(sub: jnp.ndarray, group: int) -> jnp.ndarray:
-    """[T, n_sub, C] 0/1 -> [T, CG, W] int32 per-GROUP sub-tile masks
-    (W = ceil(group/4); chunk k of a group owns byte k%4 of word k//4; bit
-    st of that byte = sub-tile st active).  The worklist kernel prefetches
+def _pack_group_masks(m8: jnp.ndarray, group: int) -> jnp.ndarray:
+    """[T, C] packed per-chunk sub-tile bytes (the activity kernel's m8
+    output) -> [T, CG, W] int32 per-GROUP sub-tile masks (W =
+    ceil(group/4); chunk k of a group owns byte k%4 of word k//4; bit st
+    of that byte = sub-tile st active).  The worklist kernel prefetches
     only the masks of its *selected* groups (take_along_axis by worklist
     ids), so SMEM scales with worklist length — NOT with scene size (a
     whole-scene bit array overflowed the 1 MB SMEM at 820k tris).
     int32 products/sums wrap two's-complement, which is exactly bitwise
     composition for these non-overlapping byte fields."""
-    t_tiles, n_sub, c = sub.shape
+    t_tiles, c = m8.shape
     cg = c // group
-    m8 = jnp.sum(
-        sub.astype(jnp.int32)
-        << jnp.arange(n_sub, dtype=jnp.int32)[None, :, None],
-        axis=1,
-    )  # [T, C] one 8-bit mask per chunk (n_sub <= 8)
     w = -(-group // 4)
     mg = m8.reshape(t_tiles, cg, group)
     padg = 4 * w - group
@@ -955,9 +987,11 @@ def closest_hit_chunks(
             )
         # chunk_min was padded to cg*group rows above, so act/ent have
         # exactly cg*group columns.
-        act, ent, sub, sub_ent0 = tile_chunk_activity(
+        act, ent, m8, sub_ent0 = tile_chunk_activity(
             rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
             coarse_bits=cbits, n_sub=n_sub,
+            # The f32 sub-entry minima feed only the cheap recheck form.
+            want_sub_ent=(n_sub > 1 and tuning.cheap_recheck != 0),
         )
         bits = _bitpack(act)
     vma = _vma_of(rays)
@@ -1250,7 +1284,7 @@ def closest_hit_chunks(
         rows = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
         tested = jnp.zeros((t_tiles, cg), bool)
         t_cur, i_cur = tmin_inf, tidx_zero
-        act_p, sub_p = act, sub
+        act_p, m8_p = act, m8
 
         def select(masks_full, idx):
             return jnp.take_along_axis(masks_full, idx[:, :, None], axis=1)
@@ -1300,28 +1334,32 @@ def closest_hit_chunks(
                         interpret, tbest=t_c[:, 0],
                     )
                     gate = gate & cb_t  # gate != None: initialized from cbits
-                act_, _, sub_, _ = tile_chunk_activity(
+                act_, _, m8_, _ = tile_chunk_activity(
                     rays, chunk_min, chunk_max, min_dst, ray_tile, interpret,
                     tbest=t_c[:, 0], coarse_bits=gate, n_sub=n_sub,
                 )
-                return act_, sub_
+                return act_, m8_
             tb_sub = jnp.max(
                 t_c[:, 0].reshape(t_tiles, n_sub, ray_tile // n_sub), axis=2
             )
             ok = jnp.isfinite(sub_ent0) & (sub_ent0 <= tb_sub[:, :, None])
-            sub_ = ok.astype(jnp.int32)
-            return jnp.any(ok, axis=1).astype(jnp.int32), sub_
+            m8_ = jnp.sum(
+                ok.astype(jnp.int32)
+                << jnp.arange(n_sub, dtype=jnp.int32)[None, :, None],
+                axis=1,
+            )
+            return (m8_ != 0).astype(jnp.int32), m8_
 
         for k, cap in enumerate(near_caps):
             ga_p, _ = _group_stats(act_p, ent, group)
             ga_p = ga_p & ~tested
             idx_p, counts_p, _ = _worklist(ga_p, ge, cap)
             t_cur, i_cur = run_pass(
-                select(_pack_group_masks(sub_p, group), idx_p),
+                select(_pack_group_masks(m8_p, group), idx_p),
                 idx_p, counts_p[:, None], t_cur, i_cur, cap,
             )
             tested = tested.at[rows, idx_p].set(True)
-            act_p, sub_p = recheck(
+            act_p, m8_p = recheck(
                 t_cur, live=ga_p & ~tested, final=k == len(near_caps) - 1
             )
 
@@ -1333,16 +1371,16 @@ def closest_hit_chunks(
         # untested group remains (each iteration tests >= min(m, max_cap)
         # groups, so it terminates; in practice the recheck collapses the
         # residual).
-        def resid_state(t_c, i_c, tested_, act_, sub_):
+        def resid_state(t_c, i_c, tested_, act_, m8_):
             ga_r, _ = _group_stats(act_, ent, group)
             ga_r = ga_r & ~tested_
             cap_r = min(cg, max_cap)
             idx_r, counts_r, full_r = _worklist(ga_r, ge, cap_r)
-            masks_r = select(_pack_group_masks(sub_, group), idx_r)
+            masks_r = select(_pack_group_masks(m8_, group), idx_r)
             return idx_r, counts_r, masks_r, jnp.max(full_r)
 
         idx_r, counts_r, masks_r, m = resid_state(
-            t_cur, i_cur, tested, act_p, sub_p
+            t_cur, i_cur, tested, act_p, m8_p
         )
         if cg <= max_cap and mode == "items":
             # The item grid is already sized by the dynamic item count, so
@@ -1385,9 +1423,9 @@ def closest_hit_chunks(
                     min(cg, max_cap),
                 )
                 tested_ = tested_.at[rows, idx_c].set(True)
-                act_n, sub_n = recheck(t_c, final=True)
+                act_n, m8_n = recheck(t_c, final=True)
                 idx_n, counts_n, masks_n, m_n = resid_state(
-                    t_c, i_c, tested_, act_n, sub_n
+                    t_c, i_c, tested_, act_n, m8_n
                 )
                 return (t_c, i_c, tested_, idx_n, counts_n, masks_n, m_n)
 

@@ -48,15 +48,16 @@ def choose_local_x(n: jnp.ndarray) -> jnp.ndarray:
     """VNDF_dist::choose_local_x (src/raytracer.h:208-219): start from (1,1,1)
     and cancel the dominant component's projection."""
     ones = jnp.ones_like(n)
-    s = jnp.sum(n, axis=-1, keepdims=True)  # dot((1,1,1), n)
+    s = jnp.sum(n, axis=-1)  # dot((1,1,1), n)
     use_x = jnp.abs(n[..., 0]) > 0.5
     use_y = (~use_x) & (jnp.abs(n[..., 1]) > 0.5)
     use_z = ~(use_x | use_y)
-    corr = s / jnp.where(
-        use_x[..., None],
-        n[..., 0:1],
-        jnp.where(use_y[..., None], n[..., 1:2], n[..., 2:3]),
-    )
+    # The divide runs on 1-D [R] operands: [R, 1]-shaped elementwise ops get
+    # the {1,0:T(8,128)} single-lane tiling (1/128 VPU occupancy — the
+    # round-5 device trace priced one such divide pair at 0.55 ms/iter),
+    # while 1-D arrays tile dense T(1024).
+    denom = jnp.where(use_x, n[..., 0], jnp.where(use_y, n[..., 1], n[..., 2]))
+    corr = (s / denom)[..., None]
     axis = (
         use_x[..., None] * jnp.array([1.0, 0, 0])
         + use_y[..., None] * jnp.array([0, 1.0, 0])
@@ -134,10 +135,15 @@ def vndf_pdf(
         )
     ) / 2.0
     g1 = 1.0 / (1.0 + lam)
-    n_scaled = jnp.stack(
-        [n[..., 0] / roughness, n[..., 1] / roughness, n[..., 2]], axis=-1
+    # length2 of the alpha-scaled half vector, without materialising the
+    # stacked [R, 3] intermediate: the two component divides of the stacked
+    # form compiled to [R, 1]{1,0:T(8,128)} single-lane ops (0.55 ms/iter in
+    # the round-5 device trace); the folded 1-D form is one dense divide.
+    # Same math as |(n.x/a, n.y/a, n.z)|^2 (src/raytracer.h:196-199) to ulp.
+    len_ns = (n[..., 0] ** 2 + n[..., 1] ** 2) / (roughness * roughness) + (
+        n[..., 2] ** 2
     )
-    dn = 1.0 / PI / roughness / roughness / length2(n_scaled) ** 2
+    dn = 1.0 / PI / roughness / roughness / len_ns**2
     dv = g1 * vdn * dn / jnp.maximum(eps, v[..., 2])
     res = dv / 4.0 / vdn
     return jnp.where(vdn <= 0, 0.0, res)
