@@ -91,8 +91,16 @@ class IntersectTuning:
     # Spatial build: "sah" chunk-aligned sweep-SAH treelets (default) or
     # "morton" (round-2 LBVH curve, kept for A/B).
     build: str = "sah"
-    # Corner-quad texture pool texel cap (0 = off, the measured default).
-    quad_max: int = 0
+    # Corner-quad texture pool texel cap.  The quad pool packs each texel's
+    # 2x2 bilinear corner block in one 64 B row, so the shade stage's
+    # bilinear fetch is ONE row gather per (ray, slot) instead of four.
+    # Measured neutral under the round-3 gather pipeline, but +1.3%
+    # end-to-end on the round-5 flat corner-major pipeline (clean A/B on
+    # the committed tree: 326.5k -> 330.9k samples/s, out/campaign_r5.jsonl
+    # base_r5b vs quad_r5b) — default ON with a cap sized for course-scale
+    # scenes (64 B/texel: 32M texels = 2 GB device pool; bigger atlases
+    # fall back to the flat pool).  TPU_PT_QUAD_MAX=0 restores the A/B.
+    quad_max: int = 32 * 1024 * 1024
     # Per-bounce carry permutation form: 0 = one take per carry array,
     # 1 = pack the carries into one wide f32 block + one int32 block and
     # gather each once (the flat-texture lesson applied to the sort:
