@@ -33,12 +33,14 @@ def specular_brdf(
     h = halfway(in_dir, out_dir)
     ndh = dot(normal, h)
     a2 = alpha * alpha
-    d = a2 * heaviside(ndh) / PI / (ndh * ndh * (a2 - 1.0) + 1.0) ** 2
+    # One divide per term (chained /PI/.../div1/div2 compiled as separate
+    # divides; divides dominate the VPU elementwise cost — round-5 scan).
+    d = a2 * heaviside(ndh) / (PI * (ndh * ndh * (a2 - 1.0) + 1.0) ** 2)
     ndo = dot(normal, out_dir)
     ndi = dot(normal, -in_dir)
     div1 = jnp.abs(ndo) + jnp.sqrt(a2 + (1.0 - a2) * ndo * ndo)
     div2 = jnp.abs(ndi) + jnp.sqrt(a2 + (1.0 - a2) * ndi * ndi)
-    v = heaviside(dot(h, out_dir)) * heaviside(dot(h, -in_dir)) / div1 / div2
+    v = heaviside(dot(h, out_dir)) * heaviside(dot(h, -in_dir)) / (div1 * div2)
     return v * d
 
 

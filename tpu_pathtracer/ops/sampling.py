@@ -143,9 +143,12 @@ def vndf_pdf(
     len_ns = (n[..., 0] ** 2 + n[..., 1] ** 2) / (roughness * roughness) + (
         n[..., 2] ** 2
     )
-    dn = 1.0 / PI / roughness / roughness / len_ns**2
+    # One divide per quantity (was 3 + 1 + 2 chained divides; divides are
+    # the VPU's slowest elementwise op and several compiled into narrow
+    # [R, 1] fusions — round-5 scan_lane_waste).  Same values to fp ulp.
+    dn = 1.0 / (PI * roughness * roughness * len_ns * len_ns)
     dv = g1 * vdn * dn / jnp.maximum(eps, v[..., 2])
-    res = dv / 4.0 / vdn
+    res = dv / (4.0 * vdn)
     return jnp.where(vdn <= 0, 0.0, res)
 
 
