@@ -455,7 +455,7 @@ def bounce_step(
     return o, d, throughput, radiance, alive, hint
 
 
-def _permute_carries(perm, vec3s, scalars, packed: bool):
+def _permute_carries(perm, vec3s, scalars, packed: int):
     """Apply the per-bounce sort permutation to the engine's carry bundle.
 
     packed=False: one ``take`` per carry array (10 gathers of minor-dim-3 /
@@ -470,20 +470,27 @@ def _permute_carries(perm, vec3s, scalars, packed: bool):
     Returns (vec3s, scalars) in the input order."""
     if not packed:
         return ([v[perm] for v in vec3s], [x[perm] for x in scalars])
-    # Two typed blocks (f32 [R, 3V] + int32 [R, S]) instead of f32 bitcasts:
-    # int bit patterns read as f32 are denormals/NaNs, which a fused CPU
-    # kernel may canonicalize — same-type packing is canonicalization-proof.
+    # f32 block: the [R, 3] row gathers are the expensive unpacked part
+    # (minor-dim-3 rows run at ~1/32 lane occupancy; probe_gap_r4b measured
+    # packed ~0.14 vs unpacked ~3.7 ms/iter) — one wide [R, 3V] row gather.
+    # Typed f32 (not bitcast ints): int bit patterns read as f32 are
+    # denormals/NaNs, which a fused CPU kernel may canonicalize.
     fblock = jnp.concatenate(list(vec3s), axis=1)[perm]
+    out_v = [fblock[:, 3 * i:3 * i + 3] for i in range(len(vec3s))]
+    if packed >= 2:
+        # Int carries permuted as S independent 1-D takes: a packed int
+        # block is cursed in EITHER orientation — [R, S] column slices
+        # anchored the scatter-index chain and [S, R] row slices anchored
+        # the threefry chain in {1,0:T(8,128)} single-lane tiling (round-5
+        # device traces).  1-D [R] arrays keep the dense T(1024) layout
+        # through every consumer.
+        return out_v, [x[perm] for x in scalars]
     iblock = jnp.concatenate(
         [(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)[:, None]
          for x in scalars], axis=1,
     )[perm]
-    out_v = [fblock[:, 3 * i:3 * i + 3] for i in range(len(vec3s))]
-    # Unpack the int block through ONE [S, R] transpose instead of S lazy
-    # [R, 1] column slices: the column form anchored downstream integer
-    # chains (scatter index, spawn slot) in {1,0:T(8,128)} single-lane
-    # tiling (the accumulator-index fusion alone was 0.75 ms/iter in the
-    # round-5 device trace); rows of the transposed block are dense 1-D.
+    # One [S, R] transpose instead of S lazy [R, 1] column slices (the
+    # column form anchored the accumulator-index fusion at 0.75 ms/iter).
     ib_t = iblock.T  # [S, R]
     out_s = [
         (ib_t[j] != 0) if x.dtype == jnp.bool_ else ib_t[j]
@@ -591,7 +598,7 @@ def trace(
                 _permute_carries(
                     perm, (o, d, throughput, radiance),
                     (alive, pids, slot, hint),
-                    bool(config.tuning.resolve().packed_permute),
+                    int(config.tuning.resolve().packed_permute),
                 )
             )
         draws = bounce_draws(key, sample, bounce_idx, pids, config)
@@ -803,7 +810,7 @@ def persistent_accum(
              (alive, active, slot, sample, depth, hint)) = _permute_carries(
                 perm, (o, d, throughput, radiance),
                 (alive, active, slot, sample, depth, hint),
-                bool(config.tuning.resolve().packed_permute),
+                int(config.tuning.resolve().packed_permute),
             )
 
         n_bounce = st["n_bounce"] + jnp.sum(alive.astype(jnp.int32))
