@@ -1113,9 +1113,18 @@ def closest_hit_chunks(
             interpret=interpret,
         )(wl, rays, tmin0, tidx0, chunk_woop)
         # Tiles with no items are never visited (their output blocks hold
-        # garbage): patch them from the previous pass.
-        vis = jnp.repeat(counts[:, 0] > 0, ray_tile)[:, None]
-        return jnp.where(vis, t_k, tmin0), jnp.where(vis, i_k, tidx0)
+        # garbage): patch them from the previous pass.  The select runs in
+        # [T, ray_tile] shape — a pure bitcast view of the row-major (r, 1)
+        # kernel buffers — because [R, 1]{1,0:T(8,128)} elementwise ops
+        # occupy one lane in 128 (several such patch fusions measured
+        # 0.6-0.75 ms/iter in the round-5 device trace); [T, ray_tile] is
+        # lane-dense and the reshapes back to (r, 1) are free.
+        vis = (counts[:, 0] > 0)[:, None]  # [T, 1]
+        t_p = jnp.where(vis, t_k.reshape(t_tiles, ray_tile),
+                        tmin0.reshape(t_tiles, ray_tile))
+        i_p = jnp.where(vis, i_k.reshape(t_tiles, ray_tile),
+                        tidx0.reshape(t_tiles, ray_tile))
+        return t_p.reshape(r, 1), i_p.reshape(r, 1)
 
     def run_bins():
         """Per-ray binned intersect (the round-4 handoff's lever #1,
@@ -1648,9 +1657,16 @@ def light_pdf_sum_chunks(
             .at[jnp.where(live_k, wl_k[0], t_tiles)]
             .max(jnp.ones(wl_k.shape[1], bool))[:t_tiles]
         )
-        total = jnp.where(jnp.repeat(vis_k, ray_tile)[:, None], got, total)
+        # [T, ray_tile] view for the patch select: lane-dense, free bitcast
+        # reshapes (an [R, 1]{1,0} select runs on one lane in 128).
+        total = jnp.where(
+            vis_k[:, None], got.reshape(t_tiles, ray_tile),
+            total.reshape(t_tiles, ray_tile),
+        ).reshape(r, 1)
         visited_any = visited_any | vis_k
-    total = jnp.where(jnp.repeat(visited_any, ray_tile)[:, None], total, 0.0)
+    total = jnp.where(
+        visited_any[:, None], total.reshape(t_tiles, ray_tile), 0.0
+    ).reshape(r, 1)
     return total[:, 0] / jnp.maximum(light_count, 1).astype(jnp.float32)
 
 
