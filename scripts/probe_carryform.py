@@ -175,6 +175,71 @@ def main() -> int:
         return rad.T, acc
 
     timeit("planar_full", loop_planar, o_in, d_in)
+
+    # ---- arm 4: component carries (12 x 1-D [R]), 1-D takes, comp math --
+    def loop_comp(o0, d0):
+        def body(i, st):
+            ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, acc = st
+            perm = jnp.argsort(dx + u[6])
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz) = (
+                v[perm] for v in (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+                                  rx, ry, rz)
+            )
+            row = table[(tri0 + i) % 200_000]  # [R, 48] row gather
+            nx_, ny_, nz_ = row[:, 9], row[:, 10], row[:, 11]
+            nl = jnp.sqrt(nx_ * nx_ + ny_ * ny_ + nz_ * nz_)
+            nx_, ny_, nz_ = nx_ / nl, ny_ / nl, nz_ / nl
+            hx, hy, hz = nx_ - dx, ny_ - dy, nz_ - dz
+            hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+            hx, hy, hz = hx / hl, hy / hl, hz / hl
+            ndh = jnp.maximum(nx_ * hx + ny_ * hy + nz_ * hz, 0.0)
+            ndd = jnp.abs(nx_ * dx + ny_ * dy + nz_ * dz) + 1e-3
+            a2 = jnp.maximum(row[:, 41], 0.04) ** 2
+            dterm = a2 / (3.14159 * ((ndh * ndh * (a2 - 1) + 1) ** 2) + 1e-9)
+            cx, cy, cz = (row[:, 33] * u[0], row[:, 34] * u[0],
+                          row[:, 35] * u[0])
+            f5 = (1.0 - ndh) ** 5
+            sden = dterm / (4 * ndd * ndd)
+            coin = u[3] < 0.5
+            frx = jnp.where(coin, (cx + (1 - cx) * f5) * sden, cx * 0.318)
+            fry = jnp.where(coin, (cy + (1 - cy) * f5) * sden, cy * 0.318)
+            frz = jnp.where(coin, (cz + (1 - cz) * f5) * sden, cz * 0.318)
+            p = 0.333 * dterm + 0.667 * jnp.maximum(ndh, 1e-4)
+            s = ndh / p
+            coin2 = u[4] < 0.9
+            ndx = jnp.where(coin2, hx, dx)
+            ndy = jnp.where(coin2, hy, dy)
+            ndz = jnp.where(coin2, hz, dz)
+            cont = (p > 1e-4) & (u[5] > 0.1)
+            tx = jnp.where(cont, tx * frx * s, tx)
+            ty = jnp.where(cont, ty * fry * s, ty)
+            tz = jnp.where(cont, tz * frz * s, tz)
+            rx = rx + jnp.where(cont, tx * dterm, 0.0)
+            ry = ry + jnp.where(cont, ty * dterm, 0.0)
+            rz = rz + jnp.where(cont, tz * dterm, 0.0)
+            ox = jnp.where(cont, ox + ndx, ox)
+            oy = jnp.where(cont, oy + ndy, oy)
+            oz = jnp.where(cont, oz + ndz, oz)
+            dx = jnp.where(cont, ndx, dx)
+            dy = jnp.where(cont, ndy, dy)
+            dz = jnp.where(cont, ndz, dz)
+            rays = jnp.stack(
+                [ox, oy, oz, jnp.ones((r,)), dx, dy, dz, jnp.zeros((r,))],
+                axis=1,
+            )
+            (rays,) = jax.lax.optimization_barrier((rays,))
+            acc = acc + jnp.sum(rays[:, 0]) + jnp.sum(rays[:, 4]) + jnp.sum(cont)
+            return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, acc)
+
+        st = jax.lax.fori_loop(
+            0, k_iter, body,
+            (o0[:, 0], o0[:, 1], o0[:, 2], d0[:, 0], d0[:, 1], d0[:, 2],
+             jnp.ones((r,)), jnp.ones((r,)), jnp.ones((r,)),
+             jnp.zeros((r,)), jnp.zeros((r,)), jnp.zeros((r,)), 0.0),
+        )
+        return jnp.stack(st[9:12], axis=1), st[12]
+
+    timeit("component_carry", loop_comp, o_in, d_in)
     return 0
 
 
