@@ -458,15 +458,18 @@ def bounce_step(
 def _permute_carries(perm, vec3s, scalars, packed: int):
     """Apply the per-bounce sort permutation to the engine's carry bundle.
 
-    packed=False: one ``take`` per carry array (10 gathers of minor-dim-3 /
-    minor-dim-1 arrays).  packed=True: the carries ride two typed blocks
-    (f32 [R, 3V] + int32 [R, S]) so the permutation is two wide-row
+    packed=0: one ``take`` per carry array (10 gathers of minor-dim-3 /
+    minor-dim-1 arrays).  packed=1 (default): the carries ride two typed
+    blocks (f32 [R, 3V] + int32 [R, S]) so the permutation is two wide-row
     gathers (the round-4 flat-texture lesson applied to the sort: on chip
-    ~0.14 vs ~3.7 ms/iter at 64k rays, out/probe_gap_r4b.json).  The
-    movement itself is bit-exact (pinned by test); whole renders under
-    packed=1 are estimator-identical to fp noise — the block layout shifts
-    XLA's fusion of the *producing* ops, which can move an ulp and flip an
-    RR coin on isolated lanes.  Perf knob ``IntersectTuning.packed_permute``.
+    ~0.14 vs ~3.7 ms/iter at 64k rays, out/probe_gap_r4b.json).  packed=2:
+    f32 block + independent 1-D int takes — measured 5.1% SLOWER end-to-end
+    (out/campaign_r5.jsonl pp2b_r5: 1-D gathers are per-element-granular on
+    TPU), kept for A/B.  The movement itself is bit-exact (pinned by test);
+    whole renders under any mode are estimator-identical to fp noise — the
+    block layout shifts XLA's fusion of the *producing* ops, which can move
+    an ulp and flip an RR coin on isolated lanes.  Perf knob
+    ``IntersectTuning.packed_permute``.
     Returns (vec3s, scalars) in the input order."""
     if not packed:
         return ([v[perm] for v in vec3s], [x[perm] for x in scalars])
