@@ -97,7 +97,9 @@ def main() -> int:
     # wavefront width applies to the headline run too.
     config = RenderConfig(
         rays_per_batch=int(os.environ.get("BENCH_RPB", 1 << 16)),
-        spp_per_pass=16,
+        # Pool passes per chunk call: larger pools pay fewer drain tails at
+        # the headline's 16-chunk shape (env-overridable for the A/B).
+        spp_per_pass=int(os.environ.get("HEADLINE_SPP_PER_PASS", "16")),
     )
 
     path = make_atrium_gltf("/tmp/headline/atrium.gltf", detail=2)
