@@ -728,3 +728,62 @@ def test_bins_overflow_falls_back_dense(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got.t)[hd], np.asarray(dense.t)[hd], rtol=1e-5, atol=1e-6
     )
+
+
+def test_activity_m8_packing_matches_sub_entries():
+    """The activity kernel's in-kernel m8 packing (round 5: bit s of chunk
+    c's int32 = sub-tile s active) must equal the bits re-derived from the
+    f32 sub-entry output, for every n_sub and for the gated kernel's
+    skipped blocks — the contract every downstream consumer (group masks,
+    bitpack, group stats) now builds on."""
+    from tpu_pathtracer.ops.pallas_intersect import (
+        super_block_bits,
+        tile_chunk_activity,
+    )
+
+    verts, valid = _scene(900, seed=11)
+    lmin, lmax = build_leaves(verts, valid, LEAF_SIZE)
+    cmin, cmax = chunk_aabbs(lmin, lmax, CHUNK_TRIS // LEAF_SIZE)
+    rng = np.random.default_rng(12)
+    r = 256
+    o = rng.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.concatenate(
+        [
+            jnp.asarray(o), jnp.ones((r, 1), jnp.float32),
+            jnp.asarray(d), jnp.zeros((r, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    cmin_j, cmax_j = jnp.asarray(cmin), jnp.asarray(cmax)
+    # Also exercise a finite per-ray t bound (the recheck form).
+    tb = jnp.asarray(rng.uniform(0.5, 20.0, size=(r,)).astype(np.float32))
+    for n_sub in (1, 2, 4, 8):
+        for tbest in (None, tb):
+            for gated in (False, True):
+                cbits = (
+                    super_block_bits(
+                        rays, cmin_j, cmax_j, EPS, 128, True, tbest=tbest
+                    )
+                    if gated
+                    else None
+                )
+                act, ent, m8, sub_ent = tile_chunk_activity(
+                    rays, cmin_j, cmax_j, EPS, ray_tile=128, interpret=True,
+                    tbest=tbest, coarse_bits=cbits, n_sub=n_sub,
+                    want_sub_ent=True,
+                )
+                m8 = np.asarray(m8)
+                bits = np.asarray(
+                    np.isfinite(np.asarray(sub_ent)).astype(np.int32)
+                )
+                expect = np.zeros_like(m8)
+                for s in range(n_sub):
+                    expect |= bits[:, s, :] << s
+                assert (m8 == expect).all(), (n_sub, tbest is None, gated)
+                assert (np.asarray(act) == (expect != 0)).all()
+                # Tile entry must be finite exactly where the tile is active.
+                assert (
+                    np.isfinite(np.asarray(ent)) == (expect != 0)
+                ).all()
