@@ -89,6 +89,7 @@ _SLOW_TESTS = {
     "test_leaf_traversal_small_k_forces_multiround",
     "test_maximal_asset_mean_parity",
     "test_lowdisc_sobol_unbiased_and_quieter",
+    "test_activity_m8_packing_matches_sub_entries",
 }
 
 
